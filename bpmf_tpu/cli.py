@@ -1,0 +1,122 @@
+"""Command-line interface with the reference's flags (c++/bpmf.cpp:41-109).
+
+Usage: bpmf -n <MTX> -p <MTX> [-o DIR/] [-i N] [-b N] [-f N] [-krv] [-t N]
+            [-m MTX,MTX] [-l MTX,MTX] [-a F] [-d K]
+
+plus TPU-native extras (--mode, --dtype, --seed, --devices, --profile).
+Unlike the reference, K (-d) is a runtime parameter, not a compile-time
+constant (CMakeLists.txt:25 BPMF_NUMLATENT).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from bpmf_tpu.config import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bpmf",
+        description="TPU-native Bayesian Probabilistic Matrix Factorization",
+    )
+    # reference flags (c++/bpmf.cpp:83-109)
+    p.add_argument("-n", dest="train", metavar="MTX", help="training input data")
+    p.add_argument("-p", dest="test", metavar="MTX", help="test input data")
+    p.add_argument("-o", dest="output", metavar="DIR", default="",
+                   help="output directory for model and predictions")
+    p.add_argument("-i", dest="nsims", type=int, default=20,
+                   help="number of total iterations (default 20)")
+    p.add_argument("-b", dest="burnin", type=int, default=5,
+                   help="number of burnin iterations (default 5)")
+    p.add_argument("-f", dest="update_freq", type=int, default=1,
+                   help="send frequency (parity flag; unused, like the reference)")
+    p.add_argument("-a", dest="alpha", type=float, default=2.0,
+                   help="noise precision alpha (default 2.0)")
+    p.add_argument("-d", dest="num_latent", type=int, default=32,
+                   help="number of latent dimensions K (default 32)")
+    p.add_argument("-k", dest="no_permute", action="store_true",
+                   help="do not optimize item-to-shard assignment")
+    p.add_argument("-r", dest="redirect", action="store_true",
+                   help="redirect stdout to bpmf_0.out")
+    p.add_argument("-v", dest="verbose", action="store_true",
+                   help="output all samples")
+    p.add_argument("-t", dest="nthreads", type=int, default=-1,
+                   help="thread count (parity flag; XLA owns intra-chip parallelism)")
+    p.add_argument("-m", dest="prop_v", metavar="MTX,MTX", default="",
+                   help="propagated posterior mu,Lambda for V (movies)")
+    p.add_argument("-l", dest="prop_u", metavar="MTX,MTX", default="",
+                   help="propagated posterior mu,Lambda for U (users)")
+    # TPU-native extras
+    p.add_argument("--mode", choices=["auto", "gather", "reduce"], default="auto",
+                   help="SPMD exchange mode (multi-device)")
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--devices", type=int, default=0,
+                   help="number of devices (0 = all available)")
+    p.add_argument("--profile", action="store_true",
+                   help="per-phase counters (ENABLE_PROFILING analog)")
+    p.add_argument("--diagonal-only", action="store_true",
+                   help="diagonal precision only (ONLY_VARIANCE analog)")
+    p.add_argument("--pallas", choices=["auto", "always", "never"], default="auto")
+    return p
+
+
+def config_from_args(args) -> Config:
+    return Config(
+        num_latent=args.num_latent,
+        nsims=args.nsims,
+        burnin=args.burnin,
+        alpha=args.alpha,
+        update_freq=args.update_freq,
+        permute=not args.no_permute,
+        verbose=args.verbose,
+        redirect=args.redirect,
+        output_dir=args.output,
+        train_file=args.train or "",
+        test_file=args.test or "",
+        prop_u=args.prop_u,
+        prop_v=args.prop_v,
+        seed=args.seed,
+        dtype=args.dtype,
+        comm_mode=args.mode,
+        n_devices=args.devices,
+        diagonal_only=args.diagonal_only,
+        profile=args.profile,
+        use_pallas=args.pallas,
+    )
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.train or not args.test:
+        parser.print_help()
+        return 1
+    cfg = config_from_args(args)
+
+    out = sys.stdout
+    if cfg.redirect:
+        # per-rank log file (c++/bpmf.cpp:111-117); single SPMD program -> rank 0
+        out = open("bpmf_0.out", "w")
+
+    from bpmf_tpu.sampler import BPMF  # deferred: jax import is slow
+
+    try:
+        sampler = BPMF(cfg, out=out)
+        sampler.run()
+    except FileNotFoundError as e:
+        print(f"bpmf: error: file not found: {e}", file=sys.stderr)
+        return 1
+    except (ValueError, AssertionError) as e:
+        print(f"bpmf: error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        if cfg.redirect:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,290 @@
+"""BPMF model: per-side state, half-sweep, prediction, full Gibbs iteration.
+
+The reference couples all of this into ``struct Sys`` (c++/bpmf.h:112-239)
+with virtual comm hooks.  Here the model is a pure-functional pytree program:
+one call of :func:`gibbs_iter` is one full Gibbs iteration — sample movies
+given users, sample users given movies, evaluate — exactly the reference
+main loop body (c++/bpmf.cpp:180-210), jitted as a single XLA program.
+
+Semantics note (SURVEY §7 risk 6): the reference's in-place OpenMP sweep
+reads only the *other* side's items, which are frozen during a half-sweep
+(c++/sample.cpp:254), so this whole-side functional update is semantically
+identical to the sequential C++ loop; only the RNG stream differs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
+from bpmf_tpu.ops.update import BucketDev, sample_bucket
+
+
+class SideState(NamedTuple):
+    """Mutable per-side sampler state (one for movies, one for users).
+
+    Mirrors Sys fields: items (c++/bpmf.h:193-194), sum/cov/norm
+    (c++/bpmf.h:221-223), hp (c++/bpmf.h:226), aggrMu/aggrLambda
+    (c++/bpmf.h:212-213; `aggr_prod` holds the running sum of u u').
+    """
+
+    items: jax.Array            # [num_pad, K]
+    hp: HyperParams
+    sum: jax.Array              # [K]
+    cov: jax.Array              # [K, K]
+    norm: jax.Array             # scalar — sum of squared norms
+    aggr_mu: Optional[jax.Array] = None    # [num_pad, K]
+    aggr_prod: Optional[jax.Array] = None  # [num_pad, K, K]
+
+
+class SideData(NamedTuple):
+    """Constant device data for one side (built once from BucketedSide)."""
+
+    buckets: tuple[BucketDev, ...]
+    prop_mu: Optional[jax.Array] = None      # [num_pad, K]
+    prop_lambda: Optional[jax.Array] = None  # [num_pad, K, K]
+
+
+class EvalData(NamedTuple):
+    """Test ratings as COO triples (shared by both sides — the reference
+    keeps transposed copies in each Sys; one copy suffices)."""
+
+    t_user: jax.Array  # [nnz_t] int32 — row index (user)
+    t_item: jax.Array  # [nnz_t] int32 — col index (movie)
+    t_val: jax.Array   # [nnz_t]
+
+
+class EvalState(NamedTuple):
+    """Welford running mean/M2 of the prediction per test entry
+    (Pavg / Pm2, c++/bpmf.h:229-230)."""
+
+    pavg: jax.Array  # [nnz_t]
+    pm2: jax.Array   # [nnz_t]
+
+
+class Metrics(NamedTuple):
+    rmse: jax.Array
+    rmse_avg: jax.Array
+    norm_users: jax.Array   # ||U||_F
+    norm_movies: jax.Array  # ||V||_F
+
+
+def init_side_state(
+    num_pad: int,
+    num_latent: int,
+    dtype,
+    aggregate: bool,
+) -> SideState:
+    """Zero-init (Sys::init, c++/sample.cpp:179-201)."""
+    k = num_latent
+    return SideState(
+        items=jnp.zeros((num_pad, k), dtype),
+        hp=HyperParams.init(k, dtype),
+        sum=jnp.zeros((k,), dtype),
+        cov=jnp.zeros((k, k), dtype),
+        norm=jnp.zeros((), dtype),
+        aggr_mu=jnp.zeros((num_pad, k), dtype) if aggregate else None,
+        aggr_prod=jnp.zeros((num_pad, k, k), dtype) if aggregate else None,
+    )
+
+
+def half_sweep(
+    state: SideState,
+    data: SideData,
+    other_items: jax.Array,
+    key: jax.Array,
+    it: jax.Array,
+    *,
+    num: int,
+    mean_rating: jax.Array,
+    alpha: float,
+    burnin: int,
+    splits: Sequence[bool],
+    diagonal_only: bool = False,
+    strict_reference: bool = True,
+    noise_scale: float = 1.0,
+    psum_axis: Optional[str] = None,
+) -> SideState:
+    """Resample every item of one side given the other side's items
+    (Sys::sample(Sys&), c++/sample.cpp:341-385).
+
+    ``num`` is the GLOBAL item count of this side (the reference uses global
+    num() for both the hyperprior N and the covariance denominator even in
+    distributed runs, c++/sample.cpp:350,379-384).  Under SPMD
+    (``psum_axis``), sum/prod/norm partials are psum'd before forming the
+    covariance — giving the *exact* global covariance, unlike the
+    reference's missing-cross-terms approximation (SURVEY §2 quirks).
+    """
+    k = other_items.shape[-1]
+    dtype = other_items.dtype
+
+    # Hyperprior resample from the previous sweep's stats
+    # (c++/sample.cpp:349-350).
+    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+
+    items = state.items
+    aggr_mu, aggr_prod = state.aggr_mu, state.aggr_prod
+    s = jnp.zeros((k,), dtype)
+    prod = jnp.zeros((k, k), dtype)
+    norm = jnp.zeros((), dtype)
+    aggr_on = jnp.asarray(it >= burnin, dtype)
+
+    for b, bucket in enumerate(data.buckets):
+        out = sample_bucket(
+            bucket,
+            other_items,
+            hp,
+            mean_rating,
+            alpha,
+            jax.random.fold_in(key, 1 + b),
+            split=splits[b],
+            prop_mu=data.prop_mu,
+            prop_lambda=data.prop_lambda,
+            diagonal_only=diagonal_only,
+            strict_reference=strict_reference,
+            noise_scale=noise_scale,
+        )
+        uv = out.u * out.slot_valid[:, None]
+        items = items.at[out.item_ids].set(out.u, mode="drop")
+        s = s + uv.sum(axis=0)
+        prod = prod + jnp.einsum(
+            "sk,sl->kl", uv, out.u, preferred_element_type=dtype
+        )
+        norm = norm + jnp.vdot(uv, out.u)
+        if aggr_mu is not None:
+            # aggrMu/aggrLambda accumulation post-burnin (c++/sample.cpp:364-368)
+            aggr_mu = aggr_mu.at[out.item_ids].add(uv * aggr_on, mode="drop")
+            aggr_prod = aggr_prod.at[out.item_ids].add(
+                jnp.einsum("sk,sl->skl", uv * aggr_on, out.u), mode="drop"
+            )
+
+    if psum_axis is not None:
+        s = jax.lax.psum(s, psum_axis)
+        prod = jax.lax.psum(prod, psum_axis)
+        norm = jax.lax.psum(norm, psum_axis)
+
+    # cov = (prod - sum sum' / N) / (N - 1) with global N
+    # (c++/sample.cpp:379-384); exact across shards here.
+    n_f = jnp.asarray(num, dtype)
+    cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
+
+    return SideState(
+        items=items,
+        hp=hp,
+        sum=s,
+        cov=cov,
+        norm=norm,
+        aggr_mu=aggr_mu,
+        aggr_prod=aggr_prod,
+    )
+
+
+def predict(
+    ev: EvalData,
+    est: EvalState,
+    user_items: jax.Array,
+    movie_items: jax.Array,
+    it: jax.Array,
+    *,
+    mean_rating: jax.Array,
+    burnin: int,
+) -> tuple[EvalState, jax.Array, jax.Array]:
+    """RMSE of the instantaneous sample and the running posterior-mean
+    prediction (Welford), Sys::predict (c++/sample.cpp:48-96).
+
+    n resets during burnin exactly as the reference: n = max(0, it - burnin);
+    at n==0 the average is overwritten with the current prediction and M2
+    resets to 0 (c++/sample.cpp:84-86).
+    """
+    n = jnp.maximum(it - burnin, 0)
+    u = user_items[ev.t_user]    # [nnz_t, K]
+    m = movie_items[ev.t_item]   # [nnz_t, K]
+    pred = jnp.sum(u * m, axis=-1) + mean_rating
+    dtype = pred.dtype
+
+    delta = pred - est.pavg
+    n_f = jnp.asarray(n, dtype)
+    avg = jnp.where(n == 0, pred, est.pavg + delta / jnp.maximum(n_f, 1.0))
+    m2 = jnp.where(n == 0, 0.0, est.pm2 + delta * (pred - avg))
+
+    se = jnp.sum((ev.t_val - pred) ** 2)
+    se_avg = jnp.sum((ev.t_val - avg) ** 2)
+    nump = jnp.asarray(ev.t_val.shape[0], dtype)
+    rmse = jnp.sqrt(se / nump)
+    rmse_avg = jnp.sqrt(se_avg / nump)
+    return EvalState(pavg=avg, pm2=m2), rmse, rmse_avg
+
+
+def gibbs_iter(
+    movies: SideState,
+    users: SideState,
+    est: EvalState,
+    movies_data: SideData,
+    users_data: SideData,
+    ev: EvalData,
+    key: jax.Array,
+    it: jax.Array,
+    *,
+    num_movies: int,
+    num_users: int,
+    mean_rating: jax.Array,
+    alpha: float,
+    burnin: int,
+    movies_splits: Sequence[bool],
+    users_splits: Sequence[bool],
+    diagonal_only: bool = False,
+    strict_reference: bool = True,
+    noise_scale: float = 1.0,
+) -> tuple[SideState, SideState, EvalState, Metrics]:
+    """One full Gibbs iteration (c++/bpmf.cpp:184-196): movies given users,
+    users given movies, then evaluation."""
+    key_it = jax.random.fold_in(key, it)
+    movies = half_sweep(
+        movies,
+        movies_data,
+        users.items,
+        jax.random.fold_in(key_it, 0),
+        it,
+        num=num_movies,
+        mean_rating=mean_rating,
+        alpha=alpha,
+        burnin=burnin,
+        splits=movies_splits,
+        diagonal_only=diagonal_only,
+        strict_reference=strict_reference,
+        noise_scale=noise_scale,
+    )
+    users = half_sweep(
+        users,
+        users_data,
+        movies.items,
+        jax.random.fold_in(key_it, 1),
+        it,
+        num=num_users,
+        mean_rating=mean_rating,
+        alpha=alpha,
+        burnin=burnin,
+        splits=users_splits,
+        diagonal_only=diagonal_only,
+        strict_reference=strict_reference,
+        noise_scale=noise_scale,
+    )
+    est, rmse, rmse_avg = predict(
+        ev,
+        est,
+        users.items,
+        movies.items,
+        it,
+        mean_rating=mean_rating,
+        burnin=burnin,
+    )
+    metrics = Metrics(
+        rmse=rmse,
+        rmse_avg=rmse_avg,
+        norm_users=jnp.sqrt(users.norm),
+        norm_movies=jnp.sqrt(movies.norm),
+    )
+    return movies, users, est, metrics

@@ -1,0 +1,138 @@
+"""Normal-Wishart hyperprior sampling in JAX.
+
+Re-derivation of the reference distribution stack (c++/mvnormal.cpp):
+
+* ``wishart_unit_chol``  — Bartlett decomposition: upper-triangular A with
+  ``A[i,i] = sqrt(2 * Gamma(0.5*(df - i)))`` (= sqrt of a chi-square with
+  df-i dof) and N(0,1) strictly-upper entries (c++/mvnormal.cpp:64-73).
+* ``wishart_chol``       — U = A @ chol(sigma).T so that U'U ~ W(sigma, df)
+  (c++/mvnormal.cpp:75-92).
+* ``mvnormal_chol_prec`` — mean + (U \\ z) / sqrt(kappa): a draw from
+  N(mean, (kappa * U'U)^-1) (c++/mvnormal.cpp:56-61).
+* ``normal_wishart``     — joint draw (mu, Lambda_U) (c++/mvnormal.cpp:96-114).
+* ``cond_normal_wishart``— conjugate posterior update given N, sample mean
+  and covariance (c++/mvnormal.cpp:116-135), with the fixed hyperparameters
+  b0=2, df=K, W=I, mu0=0 of HyperParams (c++/bpmf.h:78-96).
+
+RNG: the reference uses thread-local Philox4x32 MicroURNG with key 42 and a
+settable counter; draws here use ``jax.random`` threefry with keys folded
+from (seed, side, iter) — parity is statistical (moments), not bitwise, and
+the determinism / schedule-independence property is preserved.
+
+All functions are jit-compatible; ``num_latent`` (K) enters only through
+array shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HyperParams(NamedTuple):
+    """Sampled hyperprior state (reference HyperParams, c++/bpmf.h:78-104).
+
+    ``lambda_f`` is the full precision matrix Lambda = U'U and ``lambda_l``
+    its lower-triangular Cholesky factor (LambdaL = U').  The reference also
+    stores LambdaU; redundant here.
+    """
+
+    mu: jax.Array        # [K]
+    lambda_f: jax.Array  # [K, K]
+    lambda_l: jax.Array  # [K, K] lower triangular, lambda_f = L @ L.T
+
+    @staticmethod
+    def init(num_latent: int, dtype=jnp.float32) -> "HyperParams":
+        eye = jnp.eye(num_latent, dtype=dtype)
+        return HyperParams(
+            mu=jnp.zeros((num_latent,), dtype=dtype), lambda_f=eye, lambda_l=eye
+        )
+
+
+def wishart_unit_chol(key: jax.Array, df: float, k: int, dtype) -> jax.Array:
+    """Upper-triangular Bartlett factor A with A'A ~ W(I, df)."""
+    kd, kn = jax.random.split(key)
+    i = jnp.arange(k, dtype=dtype)
+    shape = 0.5 * (df - i)  # Gamma shape per diagonal element
+    diag = jnp.sqrt(2.0 * jax.random.gamma(kd, shape, dtype=dtype))
+    normals = jax.random.normal(kn, (k, k), dtype=dtype)
+    upper = jnp.triu(normals, 1)
+    return upper + jnp.diag(diag)
+
+
+def wishart_chol(key: jax.Array, sigma: jax.Array, df: float) -> jax.Array:
+    """Upper factor U with U'U ~ W(sigma, df) (c++/mvnormal.cpp:75-92)."""
+    k = sigma.shape[-1]
+    a = wishart_unit_chol(key, df, k, sigma.dtype)
+    # chol(sigma) lower L; matrixU of Eigen LLT is L.T
+    chol_u = jnp.linalg.cholesky(sigma).T
+    return a @ chol_u
+
+
+def mvnormal_chol_prec(
+    key: jax.Array, kappa: float, lambda_u: jax.Array, mean: jax.Array
+) -> jax.Array:
+    """Draw from N(mean, (kappa * lambda_u' lambda_u)^-1)
+    (c++/mvnormal.cpp:56-61)."""
+    z = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    r = jax.scipy.linalg.solve_triangular(lambda_u, z, lower=False)
+    return r / jnp.sqrt(jnp.asarray(kappa, mean.dtype)) + mean
+
+
+def normal_wishart(
+    key: jax.Array, mu: jax.Array, kappa: float, t: jax.Array, nu: float
+) -> tuple[jax.Array, jax.Array]:
+    """Joint NW draw; returns (mu_draw, Lambda_U) (c++/mvnormal.cpp:96-114)."""
+    kw, km = jax.random.split(key)
+    lam_u = wishart_chol(kw, t, nu)
+    mu_o = mvnormal_chol_prec(km, kappa, lam_u, mu)
+    return mu_o, lam_u
+
+
+def cond_normal_wishart(
+    key: jax.Array,
+    n: int,
+    s: jax.Array,
+    um: jax.Array,
+    mu0: jax.Array,
+    kappa: float,
+    t: jax.Array,
+    nu: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Conjugate Normal-Wishart posterior draw (c++/mvnormal.cpp:116-135).
+
+    n: item count, s: sample covariance, um: sample mean.
+    Returns (mu_draw, Lambda_U upper factor).
+    """
+    dtype = s.dtype
+    n_f = jnp.asarray(n, dtype)
+    mu_m = mu0 - um
+    mu_c = (kappa * mu0 + n_f * um) / (kappa + n_f)
+    kappa_c = kappa + n_f
+    kappa_m = kappa * n_f / (kappa + n_f)
+    x = t + n_f * s + kappa_m * jnp.outer(mu_m, mu_m)
+    t_c = jnp.linalg.inv(x)
+    nu_c = nu + n_f
+    return normal_wishart(key, mu_c, kappa_c, t_c, nu_c)
+
+
+def sample_hyper(
+    key: jax.Array,
+    n: int,
+    item_sum: jax.Array,
+    item_cov: jax.Array,
+) -> HyperParams:
+    """HyperParams::sample (c++/bpmf.h:98-103): CondNormalWishart with the
+    fixed prior b0=2, df=K, W=I, mu0=0; then Lambda = U'U, LambdaL = U'."""
+    k = item_sum.shape[-1]
+    dtype = item_sum.dtype
+    mu0 = jnp.zeros((k,), dtype)
+    eye = jnp.eye(k, dtype=dtype)
+    mu, lam_u = cond_normal_wishart(
+        key, n, item_cov, item_sum / jnp.asarray(n, dtype), mu0, 2.0, eye, float(k)
+    )
+    lam_u_tri = jnp.triu(lam_u)  # product of upper triangulars is upper
+    lambda_f = lam_u_tri.T @ lam_u_tri
+    return HyperParams(mu=mu, lambda_f=lambda_f, lambda_l=lam_u_tri.T)

@@ -1,0 +1,150 @@
+"""Batched per-item conditional Gibbs update — the hot path.
+
+TPU-native re-design of the reference hot loop (c++/sample.cpp:263-336 and
+computeMuLambda c++/sample.cpp:248-258).  Per item i with rated neighbor
+vectors {v_j} and centered ratings {r_ij - mean}:
+
+    Lambda*_i = Lambda_hp + alpha * sum_j v_j v_j'
+    rhs_i     = Lambda_hp @ mu_hp + alpha * sum_j v_j (r_ij - mean)
+    L L'      = Lambda*_i                      (Cholesky)
+    u_i       = L'^-1 ( N(0,I) + L^-1 rhs_i )  (posterior MVN draw)
+
+Batched over a degree bucket: the Gram accumulation is one
+``einsum('rwk,rwl->rkl')`` (MXU batched matmul), Cholesky and the two
+triangular solves use the batched ``lax.linalg`` primitives, and the noise
+comes from threefry keys folded per (side, iter, bucket) — preserving the
+reference's schedule-independent determinism property
+(rng_set_pos((idx+1)*K*(iter+1)), c++/sample.cpp:266) statistically.
+
+Reference quirk kept under Config.strict_reference (default): with a
+propagated posterior the per-item prior term is ``propLambda_i @ hp.mu``
+— the *shared* sampled hyper-mean, not the propagated per-item mean
+(c++/sample.cpp:285 uses ``hp.mu`` even though ``hp_mu`` was just loaded
+from propMu).  With strict_reference=False the mathematically intended
+``propLambda_i @ propMu_i`` is used.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bpmf_tpu.ops.mvnormal import HyperParams
+
+
+class BucketDev(NamedTuple):
+    """Device-resident arrays of one degree bucket (see bpmf_tpu.sparse)."""
+
+    nbr: jax.Array         # [R, W] int32
+    val: jax.Array         # [R, W] compute dtype (raw ratings)
+    mask: jax.Array        # [R, W] compute dtype
+    row_slot: jax.Array    # [R] int32
+    item_ids: jax.Array    # [S] int32
+    slot_valid: jax.Array  # [S] compute dtype
+
+
+class UpdateOut(NamedTuple):
+    u: jax.Array           # [S, K] new item vectors (garbage in padding slots)
+    item_ids: jax.Array    # [S]
+    slot_valid: jax.Array  # [S]
+
+
+def gram_rhs(
+    bucket: BucketDev,
+    other_items: jax.Array,   # [num_other_pad, K]
+    mean_rating: jax.Array,   # scalar
+    alpha: float,
+    *,
+    split: bool,
+    n_slots: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Accumulate per-slot Gram [S,K,K] and rhs [S,K] over rated neighbors.
+
+    The O(nnz * K^2) dominant work of the sweep (computeMuLambda,
+    c++/sample.cpp:248-258) as MXU batched matmuls.
+    """
+    vg = other_items[bucket.nbr]                       # [R, W, K] gather
+    vg = vg * bucket.mask[..., None]
+    w = (bucket.val - mean_rating) * bucket.mask * alpha   # [R, W]
+    gram = jnp.einsum(
+        "rwk,rwl->rkl", vg, vg, preferred_element_type=vg.dtype
+    )
+    rhs = jnp.einsum("rwk,rw->rk", vg, w, preferred_element_type=vg.dtype)
+    if split:
+        gram = jax.ops.segment_sum(gram, bucket.row_slot, num_segments=n_slots)
+        rhs = jax.ops.segment_sum(rhs, bucket.row_slot, num_segments=n_slots)
+    else:
+        gram = gram[:n_slots]
+        rhs = rhs[:n_slots]
+    return gram, rhs
+
+
+def chol_solve_sample(
+    precision: jax.Array,   # [S, K, K] posterior precision Lambda*_i
+    rhs: jax.Array,         # [S, K]
+    noise: jax.Array,       # [S, K] ~ N(0, I)
+) -> jax.Array:
+    """u = U \\ (noise + L \\ rhs) with L L' = precision
+    (c++/sample.cpp:306-324)."""
+    chol = lax.linalg.cholesky(precision)  # [S, K, K] lower
+    y = lax.linalg.triangular_solve(
+        chol, rhs[..., None], left_side=True, lower=True
+    )
+    y = y + noise[..., None]
+    u = lax.linalg.triangular_solve(
+        chol, y, left_side=True, lower=True, transpose_a=True
+    )
+    return u[..., 0]
+
+
+def sample_bucket(
+    bucket: BucketDev,
+    other_items: jax.Array,
+    hp: HyperParams,
+    mean_rating: jax.Array,
+    alpha: float,
+    key: jax.Array,
+    *,
+    split: bool,
+    prop_mu: Optional[jax.Array] = None,       # [num_pad, K] per-item prior mean
+    prop_lambda: Optional[jax.Array] = None,   # [num_pad, K, K] per-item prior prec
+    diagonal_only: bool = False,
+    strict_reference: bool = True,
+    noise_scale: float = 1.0,
+) -> UpdateOut:
+    """Draw new vectors for every item slot of one degree bucket."""
+    n_slots = bucket.item_ids.shape[0]
+    k = other_items.shape[-1]
+    dtype = other_items.dtype
+
+    gram, rhs = gram_rhs(
+        bucket, other_items, mean_rating, alpha, split=split, n_slots=n_slots
+    )
+
+    if prop_lambda is not None:
+        lam_hp = prop_lambda[bucket.item_ids]          # [S, K, K]
+        if strict_reference:
+            # c++/sample.cpp:285 quirk: shared hp.mu with per-item propLambda
+            prior_rhs = jnp.einsum("skl,l->sk", lam_hp, hp.mu)
+        else:
+            prior_rhs = jnp.einsum("skl,sl->sk", lam_hp, prop_mu[bucket.item_ids])
+    else:
+        lam_hp = hp.lambda_f                            # [K, K] broadcast below
+        prior_rhs = lam_hp @ hp.mu                      # [K]
+        lam_hp = jnp.broadcast_to(lam_hp, (n_slots, k, k))
+        prior_rhs = jnp.broadcast_to(prior_rhs, (n_slots, k))
+
+    precision = lam_hp + alpha * gram                  # MM = hp_LambdaF + alpha*MM
+    if diagonal_only:
+        # BPMF_NO_COVARIANCE / ONLY_VARIANCE (c++/sample.cpp:300-304)
+        eye = jnp.eye(k, dtype=dtype)
+        precision = eye * precision
+
+    noise = jax.random.normal(key, (n_slots, k), dtype=dtype)
+    if noise_scale != 1.0:  # test hook: deterministic posterior-mean checks
+        noise = noise * noise_scale
+    u = chol_solve_sample(precision, rhs + prior_rhs, noise)
+    return UpdateOut(u=u, item_ids=bucket.item_ids, slot_valid=bucket.slot_valid)

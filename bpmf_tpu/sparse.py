@@ -1,0 +1,198 @@
+"""Host-side sparse layout: degree-bucketed padded CSR.
+
+The reference iterates Eigen CSC columns item-by-item inside OpenMP tasks
+(c++/sample.cpp:341-373).  On TPU the per-item conditional updates are
+batched: all items of one side are conditionally independent given the other
+side, so the whole half-sweep is one batched program.  To make the sparse
+neighbor gather MXU-friendly we lay ratings out as *degree-bucketed padded
+CSR*:
+
+* items are grouped into buckets by degree; bucket ``b`` has a fixed padded
+  width ``W_b`` (power of two) and holds ``R_b`` rows of
+  ``(neighbor_index, rating, mask)``;
+* items whose degree exceeds ``max_bucket_width`` are *row-split*: their
+  neighbor list occupies several rows that share one output slot, and the
+  per-row partial Gram/rhs contributions are combined with a segment-sum
+  before the solve.  This bounds padding waste on power-law degree
+  distributions (the chembl case: median degree tiny, max > 10500 — see
+  breakpoint2, c++/bpmf.h:255-256 and c++/sample.cpp:203-218).
+
+Each bucket yields per-item ``(Lambda_i [K,K], rhs_i [K])`` statistics;
+everything downstream (Cholesky, solves, sampling) is bucket-independent.
+
+This module is pure numpy and runs once at setup time (the analog of the
+reference's Sys::init + assign, minus inter-node assignment which lives in
+bpmf_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = ["Bucket", "BucketedSide", "bucketize", "pad_count"]
+
+_ROW_PAD = 8  # pad bucket row counts to a multiple of the f32 sublane count
+
+
+def pad_count(n: int, multiple: int = _ROW_PAD) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    """One degree bucket (all arrays host numpy, copied to device once).
+
+    rows:   ``nbr``/``val``/``mask`` are [R, W]; each row contributes a
+            partial Gram/rhs for the item in slot ``row_slot[r]``.
+    slots:  ``item_ids`` [S] maps slot -> global item index (padded slots
+            point at the side's scratch item); ``slot_valid`` [S] is 0 for
+            padding slots.
+    ``split`` is True when R != S (row-split items present) and the update
+    kernel must segment-sum row partials into slots.
+    """
+
+    nbr: np.ndarray        # [R, W] int32 — indices into other side's items
+    val: np.ndarray        # [R, W] float64 — raw ratings (centered on device)
+    mask: np.ndarray       # [R, W] float32 — 1 for real entries
+    row_slot: np.ndarray   # [R] int32 — output slot per row (sorted)
+    item_ids: np.ndarray   # [S] int32 — global item index per slot
+    slot_valid: np.ndarray # [S] float32
+    split: bool
+
+    @property
+    def width(self) -> int:
+        return self.nbr.shape[1]
+
+    @property
+    def n_rows(self) -> int:
+        return self.nbr.shape[0]
+
+    @property
+    def n_slots(self) -> int:
+        return self.item_ids.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketedSide:
+    """Bucketed ratings for one side's items (one partition thereof)."""
+
+    buckets: list[Bucket]
+    num: int          # true number of items in this partition
+    num_nnz: int      # ratings covered by this partition
+
+    def padded_ratio(self) -> float:
+        """Padding overhead: padded cells / real nnz (diagnostic)."""
+        padded = sum(b.n_rows * b.width for b in self.buckets)
+        return padded / max(self.num_nnz, 1)
+
+
+def _choose_widths(degrees: np.ndarray, min_width: int, max_width: int) -> list[int]:
+    """Power-of-two widths covering the degree distribution (capped)."""
+    dmax = int(degrees.max(initial=0))
+    w = min_width
+    widths = [w]
+    while w < dmax and w < max_width:
+        w = min(w * 2, max_width)
+        widths.append(w)
+    return widths
+
+
+def bucketize(
+    m_csc: sp.csc_matrix,
+    item_ids: np.ndarray,
+    scratch_id: int,
+    min_width: int = 8,
+    max_bucket_width: int = 4096,
+    row_pad: int = _ROW_PAD,
+) -> BucketedSide:
+    """Build degree buckets for the given items (columns of ``m_csc``).
+
+    m_csc:       [num_other, num_items] CSC ratings matrix for this side
+                 (items are columns, as in the reference where
+                 Sys::M.col(i) lists item i's rated neighbors).
+    item_ids:    global item indices belonging to this partition.
+    scratch_id:  item index used by padding slots (a dead row of the padded
+                 items array).
+    """
+    item_ids = np.asarray(item_ids, dtype=np.int32)
+    indptr, indices, data = m_csc.indptr, m_csc.indices, m_csc.data
+    degrees = np.asarray(indptr[item_ids + 1] - indptr[item_ids])
+
+    widths = _choose_widths(degrees, min_width, max_bucket_width)
+    # per item: smallest width >= degree; degree > max width -> last bucket
+    # (row-split there)
+    which = np.searchsorted(np.asarray(widths), degrees, side="left")
+    which = np.minimum(which, len(widths) - 1)
+
+    buckets: list[Bucket] = []
+    total_nnz = 0
+
+    for wi, w in enumerate(widths):
+        ids = item_ids[which == wi]
+        if ids.size == 0 and wi > 0:
+            continue
+
+        rows_nbr: list[np.ndarray] = []
+        rows_val: list[np.ndarray] = []
+        rows_len: list[int] = []
+        row_slot: list[int] = []
+        slot_ids: list[int] = []
+
+        for gid in ids:
+            s, e = indptr[gid], indptr[gid + 1]
+            slot = len(slot_ids)
+            slot_ids.append(int(gid))
+            total_nnz += e - s
+            # row-split item neighbor lists wider than the bucket width
+            for off in range(0, max(e - s, 1), w):
+                a = s + off
+                b = min(s + off + w, e)
+                rows_nbr.append(indices[a:b])
+                rows_val.append(data[a:b])
+                rows_len.append(b - a)
+                row_slot.append(slot)
+
+        n_slots = pad_count(max(len(slot_ids), 1), row_pad)
+        n_rows = pad_count(max(len(rows_nbr), 1), row_pad)
+        split = len(rows_nbr) != len(slot_ids)
+
+        nbr = np.zeros((n_rows, w), dtype=np.int32)
+        val = np.zeros((n_rows, w), dtype=np.float64)
+        mask = np.zeros((n_rows, w), dtype=np.float32)
+        rslot = np.full((n_rows,), n_slots - 1, dtype=np.int32)
+        for r, (nb, va, ln) in enumerate(zip(rows_nbr, rows_val, rows_len)):
+            nbr[r, :ln] = nb
+            val[r, :ln] = va
+            mask[r, :ln] = 1.0
+            rslot[r] = row_slot[r]
+        # padding rows must target a padding slot so they never pollute a
+        # real item's statistics; the last slot is real only if there is no
+        # padding slot, in which case padding rows are all-masked anyway
+        # (their Gram/rhs partials are exactly zero).
+        ids_arr = np.full((n_slots,), scratch_id, dtype=np.int32)
+        ids_arr[: len(slot_ids)] = slot_ids
+        valid = np.zeros((n_slots,), dtype=np.float32)
+        valid[: len(slot_ids)] = 1.0
+
+        buckets.append(
+            Bucket(
+                nbr=nbr,
+                val=val,
+                mask=mask,
+                row_slot=rslot,
+                item_ids=ids_arr,
+                slot_valid=valid,
+                split=split,
+            )
+        )
+
+    side = BucketedSide(
+        buckets=buckets, num=int(item_ids.size), num_nnz=int(total_nnz)
+    )
+    n_slots_real = sum(int(b.slot_valid.sum()) for b in buckets)
+    assert n_slots_real == item_ids.size, (n_slots_real, item_ids.size)
+    assert total_nnz == int(degrees.sum()), (total_nnz, int(degrees.sum()))
+    return side

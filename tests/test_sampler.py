@@ -1,0 +1,141 @@
+"""End-to-end sampler tests: tiny golden gate, synthetic convergence,
+posterior aggregation vs numpy (the compute_mu_lambda.py check), warm-start."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from bpmf_tpu.config import Config
+from bpmf_tpu.io import read_matrix
+from bpmf_tpu.sampler import BPMF
+from tests.conftest import make_ratings, tiny_matrices
+
+
+def test_tiny_rmse_gate(tmp_path):
+    """The reference's golden smoke test (data/tiny/run_test.sh:12-25):
+    9 iterations, burnin 0, Final Avg RMSE < 3."""
+    train, test = tiny_matrices()
+    cfg = Config(num_latent=32, nsims=9, burnin=0, output_dir=str(tmp_path), verbose=True)
+    sampler = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    rmse_avg = sampler.run()
+    assert rmse_avg < 3.0
+
+
+def test_synthetic_convergence():
+    """On easy low-rank synthetic data the posterior-mean RMSE must beat the
+    trivial mean predictor by a wide margin."""
+    train, test = make_ratings(n_users=60, n_movies=40, density=0.4)
+    cfg = Config(num_latent=8, nsims=30, burnin=10)
+    sampler = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    rmse_avg = sampler.run()
+    base = np.sqrt(np.mean((test.tocoo().data - train.sum() / train.nnz) ** 2))
+    assert rmse_avg < 0.6 * base, (rmse_avg, base)
+
+
+def test_posterior_aggregation_matches_numpy(tmp_path):
+    """The data/tiny/compute_mu_lambda.py check: recompute posterior mean and
+    per-item precision from the -v sample dumps and compare with the
+    finalized U-mu.ddm / U-Lambda.ddm outputs (component #25 validation)."""
+    train, test = make_ratings(n_users=20, n_movies=12, density=0.5)
+    nsims, burnin = 12, 4
+    cfg = Config(
+        num_latent=4, nsims=nsims, burnin=burnin,
+        output_dir=str(tmp_path), verbose=True,
+    )
+    sampler = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    sampler.run()
+
+    # Reference aggregation runs during the sweep when iter >= burnin
+    # (c++/sample.cpp:364-368) -> samples burnin..nsims-1 inclusive.
+    us = [
+        read_matrix(os.path.join(tmp_path, f"U-{i}.ddm"))
+        for i in range(burnin, nsims)
+    ]
+    stacked = np.stack(us)                      # [nsamples, K, num]
+    mu_np = stacked.mean(axis=0)
+    mu_out = read_matrix(os.path.join(tmp_path, "U-mu.ddm"))
+    np.testing.assert_allclose(mu_out, mu_np, rtol=1e-4, atol=1e-5)
+
+    lam_out = read_matrix(os.path.join(tmp_path, "U-Lambda.ddm"))
+    k = mu_np.shape[0]
+    num = mu_np.shape[1]
+    for i in range(num):
+        samples = stacked[:, :, i]              # [nsamples, K]
+        prec_np = np.linalg.inv(np.cov(samples, rowvar=False))
+        prec_out = lam_out[:, i].reshape(k, k, order="F")
+        np.testing.assert_allclose(prec_out, prec_np, rtol=2e-2, atol=2e-2)
+
+
+def test_pavg_outputs(tmp_path):
+    train, test = make_ratings()
+    cfg = Config(num_latent=4, nsims=8, burnin=2, output_dir=str(tmp_path))
+    sampler = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    rmse_avg = sampler.run()
+    pavg = read_matrix(os.path.join(tmp_path, "Pavg.sdm"))
+    pm2 = read_matrix(os.path.join(tmp_path, "Pm2.sdm"))
+    assert pavg.shape == test.shape
+    assert pavg.nnz == test.nnz and pm2.nnz <= test.nnz
+    # Final Avg RMSE is recomputable from Pavg (c++/sample.cpp:87)
+    t = test.tocoo()
+    pa = np.asarray(pavg.tocsr()[t.row, t.col]).ravel()
+    rmse = np.sqrt(np.mean((t.data - pa) ** 2))
+    np.testing.assert_allclose(rmse, rmse_avg, rtol=1e-5)
+
+
+def test_warm_start_prop_posterior(tmp_path):
+    """-m/-l propagated posterior path (c++/sample.cpp:157-174): a warmed
+    run must start with much better instantaneous RMSE than a cold run."""
+    train, test = make_ratings(n_users=50, n_movies=30, density=0.4, seed=3)
+    out1 = str(tmp_path / "run1")
+    cfg1 = Config(num_latent=6, nsims=20, burnin=5, output_dir=out1)
+    s1 = BPMF(cfg1, train=train, test=test, out=open(os.devnull, "w"))
+    s1.run()
+
+    # strict_reference=False uses the propagated per-item mean in the prior
+    # term (the reference's c++/sample.cpp:285 quirk multiplies propLambda by
+    # the *shared* hyper mean instead, which neutralizes most of the
+    # warm-start benefit; see test_update.test_prop_posterior_strict_quirk).
+    cfg2 = Config(
+        num_latent=6, nsims=2, burnin=0, strict_reference=False,
+        prop_u=f"{out1}/U-mu.ddm,{out1}/U-Lambda.ddm",
+        prop_v=f"{out1}/V-mu.ddm,{out1}/V-Lambda.ddm",
+    )
+    s2 = BPMF(cfg2, train=train, test=test, out=open(os.devnull, "w"))
+    s2.setup()
+    assert s2.movies_data.prop_lambda is not None
+    warm_rmse = s2.run()
+
+    cfg3 = Config(num_latent=6, nsims=2, burnin=0)
+    s3 = BPMF(cfg3, train=train, test=test, out=open(os.devnull, "w"))
+    cold_rmse = s3.run()
+    assert warm_rmse < cold_rmse, (warm_rmse, cold_rmse)
+
+    # strict mode must also run end-to-end (parity path)
+    cfg4 = Config(
+        num_latent=6, nsims=2, burnin=0,
+        prop_u=f"{out1}/U-mu.ddm,{out1}/U-Lambda.ddm",
+        prop_v=f"{out1}/V-mu.ddm,{out1}/V-Lambda.ddm",
+    )
+    s4 = BPMF(cfg4, train=train, test=test, out=open(os.devnull, "w"))
+    assert np.isfinite(s4.run())
+
+
+def test_determinism():
+    """Two runs with the same seed produce identical trajectories."""
+    train, test = make_ratings(seed=5)
+    res = []
+    for _ in range(2):
+        cfg = Config(num_latent=4, nsims=4, burnin=1, seed=123)
+        s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+        res.append(s.run())
+    assert res[0] == res[1]
+
+
+def test_dtype_float64():
+    train, test = make_ratings(seed=6)
+    cfg = Config(num_latent=4, nsims=4, burnin=1, dtype="float64")
+    s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    rmse = s.run()
+    assert np.isfinite(rmse)
