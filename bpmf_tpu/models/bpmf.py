@@ -91,6 +91,66 @@ def init_side_state(
     )
 
 
+def sweep_core(
+    items: jax.Array,
+    aggr_mu: Optional[jax.Array],
+    aggr_prod: Optional[jax.Array],
+    data: SideData,
+    other_items: jax.Array,
+    hp,
+    side_key: jax.Array,
+    it: jax.Array,
+    *,
+    mean_rating: jax.Array,
+    alpha: float,
+    burnin: int,
+    splits: Sequence[bool],
+    diagonal_only: bool = False,
+    strict_reference: bool = True,
+    noise_scale: float = 1.0,
+):
+    """Resample the items covered by ``data.buckets`` and accumulate
+    (sum, prod, norm) and optional post-burnin aggregates.  Shared by the
+    single-device path and the shard_map SPMD body (where ``items`` and the
+    buckets are the device-local shard)."""
+    k = other_items.shape[-1]
+    dtype = other_items.dtype
+    s = jnp.zeros((k,), dtype)
+    prod = jnp.zeros((k, k), dtype)
+    norm = jnp.zeros((), dtype)
+    aggr_on = jnp.asarray(it >= burnin, dtype)
+
+    for b, bucket in enumerate(data.buckets):
+        out = sample_bucket(
+            bucket,
+            other_items,
+            hp,
+            mean_rating,
+            alpha,
+            side_key,
+            split=splits[b],
+            prop_mu=data.prop_mu,
+            prop_lambda=data.prop_lambda,
+            diagonal_only=diagonal_only,
+            strict_reference=strict_reference,
+            noise_scale=noise_scale,
+        )
+        uv = out.u * out.slot_valid[:, None]
+        items = items.at[out.item_ids].set(out.u, mode="drop")
+        s = s + uv.sum(axis=0)
+        prod = prod + jnp.einsum(
+            "sk,sl->kl", uv, out.u, preferred_element_type=dtype
+        )
+        norm = norm + jnp.vdot(uv, out.u)
+        if aggr_mu is not None:
+            # aggrMu/aggrLambda accumulation post-burnin (c++/sample.cpp:364-368)
+            aggr_mu = aggr_mu.at[out.item_ids].add(uv * aggr_on, mode="drop")
+            aggr_prod = aggr_prod.at[out.item_ids].add(
+                jnp.einsum("sk,sl->skl", uv * aggr_on, out.u), mode="drop"
+            )
+    return items, s, prod, norm, aggr_mu, aggr_prod
+
+
 def half_sweep(
     state: SideState,
     data: SideData,
@@ -118,48 +178,27 @@ def half_sweep(
     covariance — giving the *exact* global covariance, unlike the
     reference's missing-cross-terms approximation (SURVEY §2 quirks).
     """
-    k = other_items.shape[-1]
-    dtype = other_items.dtype
-
     # Hyperprior resample from the previous sweep's stats
     # (c++/sample.cpp:349-350).
     hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
 
-    items = state.items
-    aggr_mu, aggr_prod = state.aggr_mu, state.aggr_prod
-    s = jnp.zeros((k,), dtype)
-    prod = jnp.zeros((k, k), dtype)
-    norm = jnp.zeros((), dtype)
-    aggr_on = jnp.asarray(it >= burnin, dtype)
-
-    for b, bucket in enumerate(data.buckets):
-        out = sample_bucket(
-            bucket,
-            other_items,
-            hp,
-            mean_rating,
-            alpha,
-            jax.random.fold_in(key, 1 + b),
-            split=splits[b],
-            prop_mu=data.prop_mu,
-            prop_lambda=data.prop_lambda,
-            diagonal_only=diagonal_only,
-            strict_reference=strict_reference,
-            noise_scale=noise_scale,
-        )
-        uv = out.u * out.slot_valid[:, None]
-        items = items.at[out.item_ids].set(out.u, mode="drop")
-        s = s + uv.sum(axis=0)
-        prod = prod + jnp.einsum(
-            "sk,sl->kl", uv, out.u, preferred_element_type=dtype
-        )
-        norm = norm + jnp.vdot(uv, out.u)
-        if aggr_mu is not None:
-            # aggrMu/aggrLambda accumulation post-burnin (c++/sample.cpp:364-368)
-            aggr_mu = aggr_mu.at[out.item_ids].add(uv * aggr_on, mode="drop")
-            aggr_prod = aggr_prod.at[out.item_ids].add(
-                jnp.einsum("sk,sl->skl", uv * aggr_on, out.u), mode="drop"
-            )
+    items, s, prod, norm, aggr_mu, aggr_prod = sweep_core(
+        state.items,
+        state.aggr_mu,
+        state.aggr_prod,
+        data,
+        other_items,
+        hp,
+        jax.random.fold_in(key, 1),
+        it,
+        mean_rating=mean_rating,
+        alpha=alpha,
+        burnin=burnin,
+        splits=splits,
+        diagonal_only=diagonal_only,
+        strict_reference=strict_reference,
+        noise_scale=noise_scale,
+    )
 
     if psum_axis is not None:
         s = jax.lax.psum(s, psum_axis)

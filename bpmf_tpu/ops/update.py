@@ -42,7 +42,8 @@ class BucketDev(NamedTuple):
     val: jax.Array         # [R, W] compute dtype (raw ratings)
     mask: jax.Array        # [R, W] compute dtype
     row_slot: jax.Array    # [R] int32
-    item_ids: jax.Array    # [S] int32
+    item_ids: jax.Array    # [S] int32 — scatter index into the items array
+    orig_ids: jax.Array    # [S] int32 — original global id (noise keying)
     slot_valid: jax.Array  # [S] compute dtype
 
 
@@ -100,13 +101,64 @@ def chol_solve_sample(
     return u[..., 0]
 
 
+def item_noise(side_key: jax.Array, orig_ids: jax.Array, k: int, dtype) -> jax.Array:
+    """Per-item N(0, I_K) noise keyed by the ORIGINAL global item id.
+
+    This is the TPU analog of the reference's counter-based RNG positioning
+    rng_set_pos((idx+1)*K*(iter+1)) (c++/sample.cpp:266): the draw for item
+    idx depends only on (seed, side, iter, idx) — NOT on which device,
+    bucket, or slot processes it — so trajectories are bitwise independent
+    of sharding layout and exchange mode (the reference has the same
+    property across nprocs)."""
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(side_key, orig_ids)
+    return jax.vmap(lambda kk: jax.random.normal(kk, (k,), dtype=dtype))(keys)
+
+
+def posterior_precision_rhs(
+    gram: jax.Array,     # [S, K, K]
+    rhs: jax.Array,      # [S, K]
+    item_ids: jax.Array, # [S] — index into prop arrays when present
+    hp: HyperParams,
+    alpha: float,
+    *,
+    prop_mu: Optional[jax.Array] = None,
+    prop_lambda: Optional[jax.Array] = None,
+    diagonal_only: bool = False,
+    strict_reference: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Combine data statistics with the (shared or per-item propagated)
+    prior into the posterior precision and rhs (c++/sample.cpp:272-304)."""
+    n_slots, k = rhs.shape
+    dtype = rhs.dtype
+
+    if prop_lambda is not None:
+        lam_hp = prop_lambda[item_ids]                 # [S, K, K]
+        if strict_reference:
+            # c++/sample.cpp:285 quirk: shared hp.mu with per-item propLambda
+            prior_rhs = jnp.einsum("skl,l->sk", lam_hp, hp.mu)
+        else:
+            prior_rhs = jnp.einsum("skl,sl->sk", lam_hp, prop_mu[item_ids])
+    else:
+        lam_hp = hp.lambda_f                            # [K, K] broadcast below
+        prior_rhs = lam_hp @ hp.mu                      # [K]
+        lam_hp = jnp.broadcast_to(lam_hp, (n_slots, k, k))
+        prior_rhs = jnp.broadcast_to(prior_rhs, (n_slots, k))
+
+    precision = lam_hp + alpha * gram                  # MM = hp_LambdaF + alpha*MM
+    if diagonal_only:
+        # BPMF_NO_COVARIANCE / ONLY_VARIANCE (c++/sample.cpp:300-304)
+        eye = jnp.eye(k, dtype=dtype)
+        precision = eye * precision
+    return precision, rhs + prior_rhs
+
+
 def sample_bucket(
     bucket: BucketDev,
     other_items: jax.Array,
     hp: HyperParams,
     mean_rating: jax.Array,
     alpha: float,
-    key: jax.Array,
+    side_key: jax.Array,
     *,
     split: bool,
     prop_mu: Optional[jax.Array] = None,       # [num_pad, K] per-item prior mean
@@ -123,28 +175,20 @@ def sample_bucket(
     gram, rhs = gram_rhs(
         bucket, other_items, mean_rating, alpha, split=split, n_slots=n_slots
     )
+    precision, full_rhs = posterior_precision_rhs(
+        gram,
+        rhs,
+        bucket.item_ids,
+        hp,
+        alpha,
+        prop_mu=prop_mu,
+        prop_lambda=prop_lambda,
+        diagonal_only=diagonal_only,
+        strict_reference=strict_reference,
+    )
 
-    if prop_lambda is not None:
-        lam_hp = prop_lambda[bucket.item_ids]          # [S, K, K]
-        if strict_reference:
-            # c++/sample.cpp:285 quirk: shared hp.mu with per-item propLambda
-            prior_rhs = jnp.einsum("skl,l->sk", lam_hp, hp.mu)
-        else:
-            prior_rhs = jnp.einsum("skl,sl->sk", lam_hp, prop_mu[bucket.item_ids])
-    else:
-        lam_hp = hp.lambda_f                            # [K, K] broadcast below
-        prior_rhs = lam_hp @ hp.mu                      # [K]
-        lam_hp = jnp.broadcast_to(lam_hp, (n_slots, k, k))
-        prior_rhs = jnp.broadcast_to(prior_rhs, (n_slots, k))
-
-    precision = lam_hp + alpha * gram                  # MM = hp_LambdaF + alpha*MM
-    if diagonal_only:
-        # BPMF_NO_COVARIANCE / ONLY_VARIANCE (c++/sample.cpp:300-304)
-        eye = jnp.eye(k, dtype=dtype)
-        precision = eye * precision
-
-    noise = jax.random.normal(key, (n_slots, k), dtype=dtype)
+    noise = item_noise(side_key, bucket.orig_ids, k, dtype)
     if noise_scale != 1.0:  # test hook: deterministic posterior-mean checks
         noise = noise * noise_scale
-    u = chol_solve_sample(precision, rhs + prior_rhs, noise)
+    u = chol_solve_sample(precision, full_rhs, noise)
     return UpdateOut(u=u, item_ids=bucket.item_ids, slot_valid=bucket.slot_valid)

@@ -1,0 +1,307 @@
+"""The single SPMD training program replacing the reference's nine
+communication backends (SURVEY.md §2 #8-#18).
+
+Two exchange modes over a 1-D device mesh (axis ``'i'``), selected at
+runtime instead of compile time:
+
+* ``gather`` — value exchange: U and V are sharded over the mesh; before a
+  half-sweep the frozen other side is ``all_gather``-ed and each device
+  resamples its own item shard.  This is the MPI_BCAST / MPI_ISEND /
+  MPI_PUT / GASPI / ArgoDSM family (their differences are overlap
+  strategies that XLA owns on ICI).
+* ``reduce`` — statistic exchange (ENABLE_REDUCE, MPI_REDUCE /
+  MPI_ALLREDUCE): the other side is NOT gathered; each device computes
+  partial per-item (Gram, rhs) from the edges whose other-side endpoint it
+  owns (preComputeMuLambda's local_only filter, c++/sample.cpp:248-258) and
+  a ``psum_scatter`` lands the summed statistics on the owner shard, which
+  then solves for its items in one batched Cholesky.
+
+Both modes psum (sum, prod, norm) each half-sweep — the analog of
+``reduce_sum_cov_norm()`` (c++/mpi_common.h:44-50) — and compute the EXACT
+global covariance (the reference's multi-rank covariance drops cross-rank
+terms, c++/sample.cpp:379-384; single-rank runs agree exactly).
+
+Per-item noise is keyed by original item id (ops/update.item_noise), so
+gather and reduce modes on any device count produce the same trajectory up
+to float reduction order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bpmf_tpu.models.bpmf import (
+    EvalData,
+    EvalState,
+    Metrics,
+    SideData,
+    SideState,
+    predict,
+    sweep_core,
+)
+from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
+from bpmf_tpu.ops.update import (
+    BucketDev,
+    chol_solve_sample,
+    gram_rhs,
+    item_noise,
+    posterior_precision_rhs,
+)
+from bpmf_tpu.parallel.partition import GatherLayout, ReduceLayout, SideMaps
+
+AXIS = "i"
+
+
+def _bucket_specs():
+    return BucketDev(
+        nbr=P(AXIS, None, None),
+        val=P(AXIS, None, None),
+        mask=P(AXIS, None, None),
+        row_slot=P(AXIS, None),
+        item_ids=P(AXIS, None),
+        orig_ids=P(AXIS, None),
+        slot_valid=P(AXIS, None),
+    )
+
+
+def _take0(b: BucketDev) -> BucketDev:
+    """Inside shard_map the stacked [D, ...] arrays arrive as [1, ...]."""
+    return BucketDev(*(x[0] for x in b))
+
+
+def gather_half_sweep(
+    mesh: Mesh,
+    state: SideState,
+    data: SideData,            # buckets stacked [D, ...]; prop in padded layout
+    other_items: jax.Array,    # [D*local_pad_other, K] sharded
+    key: jax.Array,
+    it: jax.Array,
+    *,
+    num: int,
+    mean_rating: jax.Array,
+    alpha: float,
+    burnin: int,
+    splits,
+    diagonal_only: bool,
+    strict_reference: bool,
+    noise_scale: float,
+) -> SideState:
+    """Value-exchange half-sweep (Sys::sample + bcast-family comm)."""
+    dtype = other_items.dtype
+    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    side_key = jax.random.fold_in(key, 1)
+
+    has_aggr = state.aggr_mu is not None
+    has_prop = data.prop_mu is not None
+
+    def body(items_l, aggr_mu_l, aggr_prod_l, prop_mu_l, prop_lambda_l,
+             other_l, *buckets_flat):
+        buckets = tuple(
+            _take0(BucketDev(*buckets_flat[j * 7 : (j + 1) * 7]))
+            for j in range(len(splits))
+        )
+        other_full = lax.all_gather(other_l, AXIS, tiled=True)
+        local_data = SideData(
+            buckets=buckets, prop_mu=prop_mu_l, prop_lambda=prop_lambda_l
+        )
+        items_l, s, prod, norm, aggr_mu_l, aggr_prod_l = sweep_core(
+            items_l,
+            aggr_mu_l,
+            aggr_prod_l,
+            local_data,
+            other_full,
+            hp,
+            side_key,
+            it,
+            mean_rating=mean_rating,
+            alpha=alpha,
+            burnin=burnin,
+            splits=splits,
+            diagonal_only=diagonal_only,
+            strict_reference=strict_reference,
+            noise_scale=noise_scale,
+        )
+        # reduce_sum_cov_norm (c++/mpi_common.h:44-50) as one fused psum
+        s = lax.psum(s, AXIS)
+        prod = lax.psum(prod, AXIS)
+        norm = lax.psum(norm, AXIS)
+        return items_l, aggr_mu_l, aggr_prod_l, s, prod, norm
+
+    aggr_spec = P(AXIS, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    prop_mu_spec = P(AXIS, None) if has_prop else P()
+    prop_lam_spec = P(AXIS, None, None) if has_prop else P()
+    bspecs = _bucket_specs()
+    in_specs = (
+        P(AXIS, None),            # items
+        aggr_spec,
+        aggr_prod_spec,
+        prop_mu_spec,
+        prop_lam_spec,
+        P(AXIS, None),            # other items
+    ) + tuple(s for _ in splits for s in bspecs)
+    out_specs = (
+        P(AXIS, None),
+        aggr_spec,
+        aggr_prod_spec,
+        P(),
+        P(),
+        P(),
+    )
+
+    buckets_flat = tuple(x for b in data.buckets for x in b)
+    items, aggr_mu, aggr_prod, s, prod, norm = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(
+        state.items,
+        state.aggr_mu,
+        state.aggr_prod,
+        data.prop_mu,
+        data.prop_lambda,
+        other_items,
+        *buckets_flat,
+    )
+
+    n_f = jnp.asarray(num, dtype)
+    cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
+    return SideState(
+        items=items, hp=hp, sum=s, cov=cov, norm=norm,
+        aggr_mu=aggr_mu, aggr_prod=aggr_prod,
+    )
+
+
+def reduce_half_sweep(
+    mesh: Mesh,
+    state: SideState,
+    data: SideData,             # reduce-layout buckets; prop in padded layout
+    other_items: jax.Array,     # [D*local_pad_other, K] sharded — NOT gathered
+    key: jax.Array,
+    it: jax.Array,
+    *,
+    num: int,
+    padded_num: int,            # D * local_pad of THIS side
+    local_orig: jax.Array,      # [D, local_pad] original id per local slot
+    local_valid: jax.Array,     # [D, local_pad]
+    mean_rating: jax.Array,
+    alpha: float,
+    burnin: int,
+    splits,
+    diagonal_only: bool,
+    strict_reference: bool,
+    noise_scale: float,
+) -> SideState:
+    """Statistic-exchange half-sweep (ENABLE_REDUCE family)."""
+    dtype = other_items.dtype
+    k = other_items.shape[-1]
+    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    side_key = jax.random.fold_in(key, 1)
+
+    has_aggr = state.aggr_mu is not None
+    has_prop = data.prop_mu is not None
+
+    def body(aggr_mu_l, aggr_prod_l, prop_mu_l, prop_lambda_l,
+             other_l, local_orig_l, local_valid_l, *buckets_flat):
+        local_orig_l = local_orig_l[0]
+        local_valid_l = local_valid_l[0]
+        local_pad = local_orig_l.shape[0]
+
+        # partial per-item stats from locally-owned other-side vectors
+        gram_full = jnp.zeros((padded_num, k, k), dtype)
+        rhs_full = jnp.zeros((padded_num, k), dtype)
+        for j, split in enumerate(splits):
+            b = _take0(BucketDev(*buckets_flat[j * 7 : (j + 1) * 7]))
+            n_slots = b.item_ids.shape[0]
+            g, r = gram_rhs(
+                b, other_l, mean_rating, alpha, split=split, n_slots=n_slots
+            )
+            gram_full = gram_full.at[b.item_ids].add(
+                g * b.slot_valid[:, None, None]
+            )
+            rhs_full = rhs_full.at[b.item_ids].add(r * b.slot_valid[:, None])
+
+        # land the summed stats on the owner shard (psum_scatter == the
+        # per-owner MPI_Reduce of mpi_reduce.h:29-45)
+        gram_l = lax.psum_scatter(gram_full, AXIS, scatter_dimension=0, tiled=True)
+        rhs_l = lax.psum_scatter(rhs_full, AXIS, scatter_dimension=0, tiled=True)
+
+        precision, full_rhs = posterior_precision_rhs(
+            gram_l,
+            rhs_l,
+            jnp.arange(local_pad),
+            hp,
+            alpha,
+            prop_mu=prop_mu_l,
+            prop_lambda=prop_lambda_l,
+            diagonal_only=diagonal_only,
+            strict_reference=strict_reference,
+        )
+        noise = item_noise(side_key, local_orig_l, k, dtype)
+        if noise_scale != 1.0:
+            noise = noise * noise_scale
+        u = chol_solve_sample(precision, full_rhs, noise)
+
+        uv = u * local_valid_l[:, None]
+        s = lax.psum(uv.sum(axis=0), AXIS)
+        prod = lax.psum(
+            jnp.einsum("sk,sl->kl", uv, u, preferred_element_type=dtype), AXIS
+        )
+        norm = lax.psum(jnp.vdot(uv, u), AXIS)
+        aggr_on = jnp.asarray(it >= burnin, dtype)
+        if aggr_mu_l is not None:
+            aggr_mu_l = aggr_mu_l + uv * aggr_on
+            aggr_prod_l = aggr_prod_l + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+        return u, aggr_mu_l, aggr_prod_l, s, prod, norm
+
+    aggr_spec = P(AXIS, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    prop_mu_spec = P(AXIS, None) if has_prop else P()
+    prop_lam_spec = P(AXIS, None, None) if has_prop else P()
+    bspecs = _bucket_specs()
+    in_specs = (
+        aggr_spec,
+        aggr_prod_spec,
+        prop_mu_spec,
+        prop_lam_spec,
+        P(AXIS, None),            # other items (stays sharded)
+        P(AXIS, None),            # local_orig
+        P(AXIS, None),            # local_valid
+    ) + tuple(s for _ in splits for s in bspecs)
+    out_specs = (
+        P(AXIS, None),
+        aggr_spec,
+        aggr_prod_spec,
+        P(),
+        P(),
+        P(),
+    )
+
+    buckets_flat = tuple(x for b in data.buckets for x in b)
+    items, aggr_mu, aggr_prod, s, prod, norm = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(
+        state.aggr_mu,
+        state.aggr_prod,
+        data.prop_mu,
+        data.prop_lambda,
+        other_items,
+        local_orig,
+        local_valid,
+        *buckets_flat,
+    )
+
+    n_f = jnp.asarray(num, dtype)
+    cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
+    return SideState(
+        items=items, hp=hp, sum=s, cov=cov, norm=norm,
+        aggr_mu=aggr_mu, aggr_prod=aggr_prod,
+    )

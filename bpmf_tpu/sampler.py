@@ -2,18 +2,21 @@
 
 The analog of the reference ``main()`` (c++/bpmf.cpp:69-260): loads the
 train/test matrices, builds both sides, runs the Gibbs loop with the
-reference's per-iteration log line, and writes the output files.  The whole
-per-iteration computation (two half-sweeps + evaluation) is a single jitted
-XLA program; the host loop only feeds the iteration counter and fetches the
-four scalar metrics.
+reference's per-iteration log line, and writes the output files.
+
+Execution is ALWAYS the SPMD program of bpmf_tpu.parallel.spmd over a 1-D
+``jax.sharding.Mesh`` (a single device is just a 1-device mesh): U and V are
+sharded over the ``'i'`` axis, exchange mode is ``gather`` (value exchange)
+or ``reduce`` (statistic exchange) — the runtime replacement for the
+reference's nine compile-time comm backends.  The whole per-iteration
+computation (two half-sweeps + evaluation) is one jitted XLA program; the
+host loop feeds the iteration counter and fetches four scalar metrics.
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
-import time
 from typing import Optional
 
 import numpy as np
@@ -21,48 +24,39 @@ import scipy.sparse as sp
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bpmf_tpu.config import Config
 from bpmf_tpu.io import read_matrix, write_matrix
 from bpmf_tpu.models.bpmf import (
     EvalData,
     EvalState,
+    Metrics,
     SideData,
     SideState,
-    gibbs_iter,
-    init_side_state,
     predict,
 )
+from bpmf_tpu.ops.mvnormal import HyperParams
 from bpmf_tpu.ops.update import BucketDev
-from bpmf_tpu.sparse import BucketedSide, bucketize, pad_count
+from bpmf_tpu.parallel import partition as part
+from bpmf_tpu.parallel.spmd import AXIS, gather_half_sweep, reduce_half_sweep
 from bpmf_tpu.utils.counters import Counters, tick
 
 
 class Side:
-    """Host metadata for one side (name, sizes, bucket layout, outputs).
+    """Host metadata for one side (movies = columns of the train matrix,
+    users = rows; c++/bpmf.cpp:131-132, c++/sample.cpp:132-137)."""
 
-    The reference's Sys has movies = columns of the train matrix and users =
-    rows (transpose ctor, c++/bpmf.cpp:131-132, c++/sample.cpp:132-137).
-    """
-
-    def __init__(
-        self,
-        name: str,
-        m_csc: sp.csc_matrix,
-        cfg: Config,
-    ):
+    def __init__(self, name: str, m_csc: sp.csc_matrix, cfg: Config,
+                 n_devices: int):
         self.name = name
         self.m = m_csc  # [num_other, num] — items are columns
         self.num = m_csc.shape[1]
-        self.num_pad = pad_count(self.num + 1)
-        self.scratch_id = self.num
-        self.bucketed: BucketedSide = bucketize(
-            m_csc,
-            np.arange(self.num, dtype=np.int32),
-            self.scratch_id,
-            max_bucket_width=cfg.max_bucket_width,
-        )
-        self.splits = tuple(b.split for b in self.bucketed.buckets)
+        self.degrees = np.diff(m_csc.indptr)
+        ids = part.assign_items(self.degrees, n_devices, balance=cfg.permute)
+        self.maps = part.make_maps(ids, self.num)
+        self.gather: Optional[part.GatherLayout] = None
+        self.reduce: Optional[part.ReduceLayout] = None
         self.prop_mu: Optional[np.ndarray] = None      # [num, K]
         self.prop_lambda: Optional[np.ndarray] = None  # [num, K, K]
 
@@ -71,9 +65,9 @@ class Side:
 
     def add_prop_posterior(self, fnames: str, num_latent: int) -> None:
         """Load propagated posterior '-m/-l mu.ddm,Lambda.ddm'
-        (Sys::add_prop_posterior, c++/sample.cpp:157-174).  Shapes are
-        asserted exactly like the reference: mu is K x num, Lambda is
-        K^2 x num (column i reshapes to K x K column-major)."""
+        (Sys::add_prop_posterior, c++/sample.cpp:157-174).  Shapes asserted
+        like the reference: mu is K x num, Lambda is K^2 x num (column i
+        reshapes to K x K column-major)."""
         if not fnames:
             return
         if "," not in fnames:
@@ -91,33 +85,56 @@ class Side:
             lam.reshape((k, k, self.num), order="F").transpose(2, 0, 1)
         )
 
-    def device_data(self, dtype) -> SideData:
-        buckets = tuple(
+    # -- device data -------------------------------------------------------
+
+    def _buckets_dev(self, buckets, dtype, shard):
+        return tuple(
             BucketDev(
-                nbr=jnp.asarray(b.nbr),
-                val=jnp.asarray(b.val, dtype),
-                mask=jnp.asarray(b.mask, dtype),
-                row_slot=jnp.asarray(b.row_slot),
-                item_ids=jnp.asarray(b.item_ids),
-                slot_valid=jnp.asarray(b.slot_valid, dtype),
+                nbr=shard(jnp.asarray(b.nbr), 3),
+                val=shard(jnp.asarray(b.val, dtype), 3),
+                mask=shard(jnp.asarray(b.mask, dtype), 3),
+                row_slot=shard(jnp.asarray(b.row_slot), 2),
+                item_ids=shard(jnp.asarray(b.item_ids), 2),
+                orig_ids=shard(jnp.asarray(b.orig_ids), 2),
+                slot_valid=shard(jnp.asarray(b.slot_valid, dtype), 2),
             )
-            for b in self.bucketed.buckets
+            for b in buckets
         )
-        prop_mu = prop_lambda = None
-        if self.prop_mu is not None:
-            k = self.prop_mu.shape[1]
-            pm = np.zeros((self.num_pad, k), dtype=self.prop_mu.dtype)
-            pm[: self.num] = self.prop_mu
-            pl = np.tile(np.eye(k), (self.num_pad, 1, 1))
-            pl[: self.num] = self.prop_lambda
-            prop_mu = jnp.asarray(pm, dtype)
-            prop_lambda = jnp.asarray(pl, dtype)
-        return SideData(buckets=buckets, prop_mu=prop_mu, prop_lambda=prop_lambda)
+
+    def _prop_dev(self, dtype, shard, num_latent):
+        if self.prop_mu is None:
+            return None, None
+        k = num_latent
+        pn = self.maps.padded_num
+        pm = np.zeros((pn, k), self.prop_mu.dtype)
+        pl = np.tile(np.eye(k), (pn, 1, 1))
+        idx = self.maps.orig_to_padded
+        pm[idx] = self.prop_mu
+        pl[idx] = self.prop_lambda
+        return (
+            shard(jnp.asarray(pm, dtype), 0),
+            shard(jnp.asarray(pl, dtype), 0),
+        )
+
+    def device_data(self, dtype, shard, num_latent, mode: str):
+        prop_mu, prop_lambda = self._prop_dev(dtype, shard, num_latent)
+        gather_data = SideData(
+            buckets=self._buckets_dev(self.gather.buckets, dtype, shard),
+            prop_mu=prop_mu,
+            prop_lambda=prop_lambda,
+        )
+        reduce_data = None
+        if mode == "reduce":
+            reduce_data = SideData(
+                buckets=self._buckets_dev(self.reduce.buckets, dtype, shard),
+                prop_mu=prop_mu,
+                prop_lambda=prop_lambda,
+            )
+        return gather_data, reduce_data
 
 
 class BPMF:
-    """End-to-end sampler (single-device path; the SPMD path lives in
-    bpmf_tpu.parallel.spmd and shares all model code)."""
+    """End-to-end sampler over a 1-D device mesh."""
 
     def __init__(
         self,
@@ -143,11 +160,19 @@ class BPMF:
         test.resize((rows, cols))
         self.train = train
         self.test = test
-
         self.mean_rating = train.sum() / train.nnz
+
+        n_avail = len(jax.devices())
+        self.n_devices = cfg.n_devices if cfg.n_devices > 0 else n_avail
+        if self.n_devices > n_avail:
+            raise ValueError(
+                f"requested {self.n_devices} devices, only {n_avail} available"
+            )
+        self.mode = "gather" if cfg.comm_mode == "auto" else cfg.comm_mode
+
         # movies: columns of R; users: rows of R (c++/bpmf.cpp:131-132)
-        self.movies = Side("movs", train, cfg)
-        self.users = Side("users", sp.csc_matrix(train.T), cfg)
+        self.movies = Side("movs", train, cfg, self.n_devices)
+        self.users = Side("users", sp.csc_matrix(train.T), cfg, self.n_devices)
         if cfg.prop_v:
             self.movies.add_prop_posterior(cfg.prop_v, cfg.num_latent)
         if cfg.prop_u:
@@ -175,49 +200,138 @@ class BPMF:
         if cfg.dtype == "float64":
             jax.config.update("jax_enable_x64", True)
         self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        dtype = self.dtype
 
+        self.mesh = Mesh(np.array(jax.devices()[: self.n_devices]), (AXIS,))
+
+        # layouts
+        with self.counters.scope("layout"):
+            self.movies.gather = part.build_gather_layout(
+                self.movies.m, self.movies.maps,
+                self.users.maps.orig_to_padded, cfg.max_bucket_width,
+            )
+            self.users.gather = part.build_gather_layout(
+                self.users.m, self.users.maps,
+                self.movies.maps.orig_to_padded, cfg.max_bucket_width,
+            )
+            if self.mode == "reduce":
+                self.movies.reduce = part.build_reduce_layout(
+                    self.movies.m, self.movies.maps.orig_to_padded,
+                    self.movies.maps.padded_num, self.users.maps.ids_per_dev,
+                    cfg.max_bucket_width,
+                )
+                self.users.reduce = part.build_reduce_layout(
+                    self.users.m, self.users.maps.orig_to_padded,
+                    self.users.maps.padded_num, self.movies.maps.ids_per_dev,
+                    cfg.max_bucket_width,
+                )
+
+        def shard(x, rank):
+            spec = P(AXIS, *([None] * (rank - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        self._shard = shard
         aggregate = bool(cfg.output_dir)
-        self.movies_data = self.movies.device_data(self.dtype)
-        self.users_data = self.users.device_data(self.dtype)
+        self.movies_gdata, self.movies_rdata = self.movies.device_data(
+            dtype, shard, cfg.num_latent, self.mode
+        )
+        self.users_gdata, self.users_rdata = self.users.device_data(
+            dtype, shard, cfg.num_latent, self.mode
+        )
+
+        # per-side auxiliary maps for reduce mode
+        self._aux = {}
+        for side in (self.movies, self.users):
+            self._aux[side.name] = dict(
+                local_orig=shard(jnp.asarray(side.maps.local_orig), 2),
+                local_valid=shard(jnp.asarray(side.maps.local_valid, dtype), 2),
+            )
+
+        # eval data in padded index space
         self.ev = EvalData(
-            t_user=jnp.asarray(self.t_user),
-            t_item=jnp.asarray(self.t_item),
-            t_val=jnp.asarray(self.t_val, self.dtype),
+            t_user=jnp.asarray(
+                self.users.maps.orig_to_padded[self.t_user], jnp.int32
+            ),
+            t_item=jnp.asarray(
+                self.movies.maps.orig_to_padded[self.t_item], jnp.int32
+            ),
+            t_val=jnp.asarray(self.t_val, dtype),
         )
-        self.state_m = init_side_state(
-            self.movies.num_pad, cfg.num_latent, self.dtype, aggregate
-        )
-        self.state_u = init_side_state(
-            self.users.num_pad, cfg.num_latent, self.dtype, aggregate
-        )
+
+        def init_state(side: Side) -> SideState:
+            k = cfg.num_latent
+            pn = side.maps.padded_num
+            return SideState(
+                items=shard(jnp.zeros((pn, k), dtype), 0),
+                hp=HyperParams.init(k, dtype),
+                sum=jnp.zeros((k,), dtype),
+                cov=jnp.zeros((k, k), dtype),
+                norm=jnp.zeros((), dtype),
+                aggr_mu=shard(jnp.zeros((pn, k), dtype), 0) if aggregate else None,
+                aggr_prod=(
+                    shard(jnp.zeros((pn, k, k), dtype), 0) if aggregate else None
+                ),
+            )
+
+        self.state_m = init_state(self.movies)
+        self.state_u = init_state(self.users)
         self.est = EvalState(
-            pavg=jnp.zeros((len(self.t_val),), self.dtype),
-            pm2=jnp.zeros((len(self.t_val),), self.dtype),
+            pavg=jnp.zeros((len(self.t_val),), dtype),
+            pm2=jnp.zeros((len(self.t_val),), dtype),
         )
         self.key = jax.random.PRNGKey(cfg.seed)
-        mean_rating = jnp.asarray(self.mean_rating, self.dtype)
+        mean_rating = jnp.asarray(self.mean_rating, dtype)
         self._mean_rating_dev = mean_rating
 
-        def _iter(movies, users, est, movies_data, users_data, ev, key, it):
-            return gibbs_iter(
-                movies,
-                users,
-                est,
-                movies_data,
-                users_data,
-                ev,
-                key,
-                it,
-                num_movies=self.movies.num,
-                num_users=self.users.num,
-                mean_rating=mean_rating,
-                alpha=cfg.alpha,
-                burnin=cfg.burnin,
-                movies_splits=self.movies.splits,
-                users_splits=self.users.splits,
-                diagonal_only=cfg.diagonal_only,
-                strict_reference=cfg.strict_reference,
+        mesh = self.mesh
+        mode = self.mode
+        common = dict(
+            mean_rating=mean_rating,
+            alpha=cfg.alpha,
+            burnin=cfg.burnin,
+            diagonal_only=cfg.diagonal_only,
+            strict_reference=cfg.strict_reference,
+            noise_scale=1.0,
+        )
+
+        def sweep(state, gdata, rdata, other_items, key, it, side: Side):
+            if mode == "reduce":
+                return reduce_half_sweep(
+                    mesh, state, rdata, other_items, key, it,
+                    num=side.num,
+                    padded_num=side.maps.padded_num,
+                    local_orig=self._aux[side.name]["local_orig"],
+                    local_valid=self._aux[side.name]["local_valid"],
+                    splits=side.reduce.splits,
+                    **common,
+                )
+            return gather_half_sweep(
+                mesh, state, gdata, other_items, key, it,
+                num=side.num, splits=side.gather.splits, **common,
             )
+
+        def _iter(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
+                  ev, key, it):
+            key_it = jax.random.fold_in(key, it)
+            state_m = sweep(
+                state_m, m_gdata, m_rdata, state_u.items,
+                jax.random.fold_in(key_it, 0), it, self.movies,
+            )
+            state_u = sweep(
+                state_u, u_gdata, u_rdata, state_m.items,
+                jax.random.fold_in(key_it, 1), it, self.users,
+            )
+            est2, rmse, rmse_avg = predict(
+                ev, est, state_u.items, state_m.items, it,
+                mean_rating=mean_rating, burnin=cfg.burnin,
+            )
+            metrics = Metrics(
+                rmse=rmse,
+                rmse_avg=rmse_avg,
+                norm_users=jnp.sqrt(state_u.norm),
+                norm_movies=jnp.sqrt(state_m.norm),
+            )
+            return state_m, state_u, est2, metrics
 
         self._iter_fn = jax.jit(_iter, donate_argnums=(0, 1, 2))
         self._setup_done = True
@@ -228,9 +342,8 @@ class BPMF:
 
     def _log_banner(self) -> None:
         cfg = self.cfg
-        m = self.movies
         # dataset statistics banner (Sys::init, c++/sample.cpp:203-219)
-        degs = np.diff(self.train.tocsc().indptr)
+        degs = self.movies.degrees
         bp1, bp2 = 24, 10500  # breakpoint1/2 (c++/bpmf.h:255-256)
         self._log(f"mean rating: {self.mean_rating:.6g}")
         self._log(f"total number of ratings in train: {self.train.nnz}")
@@ -240,45 +353,48 @@ class BPMF:
         self._log(f"rows > break_point2: {100.0 * (degs > bp2).mean():.6g}")
         self._log(f"num movs: {self.movies.num}")
         self._log(f"num users: {self.users.num}")
-        if m.prop_mu is not None or self.users.prop_mu is not None:
+        if self.movies.prop_mu is not None or self.users.prop_mu is not None:
             self._log("with propagated posterior")
         self._log(f"num_latent: {cfg.num_latent}")
+        self._log(f"ndevices: {self.n_devices} (mode: {self.mode})")
         self._log(f"nsims: {cfg.nsims}")
         self._log(f"burnin: {cfg.burnin}")
         self._log(f"alpha: {cfg.alpha}")
         self._log(f"update_freq: {cfg.update_freq}")
-        self._log(
-            "bucket layout movs: "
-            + ", ".join(
-                f"{b.n_rows}x{b.width}" for b in self.movies.bucketed.buckets
+        for side in (self.movies, self.users):
+            layout = side.reduce if self.mode == "reduce" else side.gather
+            self._log(
+                f"bucket layout {side.name}: "
+                + ", ".join(
+                    f"{b.nbr.shape[1]}x{b.width}" for b in layout.buckets
+                )
             )
-            + f" (pad ratio {self.movies.bucketed.padded_ratio():.2f})"
-        )
-        self._log(
-            "bucket layout users: "
-            + ", ".join(
-                f"{b.n_rows}x{b.width}" for b in self.users.bucketed.buckets
-            )
-            + f" (pad ratio {self.users.bucketed.padded_ratio():.2f})"
-        )
 
     # -- Gibbs loop --------------------------------------------------------
 
-    def step(self) -> dict:
-        """One full Gibbs iteration; returns host metrics."""
+    def step(self) -> Metrics:
+        """One full Gibbs iteration; returns device metrics."""
         self.iter += 1
         it = jnp.asarray(self.iter, jnp.int32)
         self.state_m, self.state_u, self.est, metrics = self._iter_fn(
             self.state_m,
             self.state_u,
             self.est,
-            self.movies_data,
-            self.users_data,
+            self.movies_gdata,
+            self.movies_rdata,
+            self.users_gdata,
+            self.users_rdata,
             self.ev,
             self.key,
             it,
         )
         return metrics
+
+    def items_host(self, side: Side, state: SideState) -> np.ndarray:
+        """Items in original order, [num, K] (the bcast+unpermute step,
+        c++/bpmf.cpp:217-224)."""
+        arr = np.asarray(state.items, np.float64)
+        return arr[side.maps.orig_to_padded]
 
     def run(self) -> float:
         """Full training run with the reference's per-iteration log line
@@ -289,13 +405,11 @@ class BPMF:
         begin = tick()
         num_items = self.users.num + self.movies.num
         nnz = self.train.nnz
-        sample_dumps = []
 
         for i in range(cfg.nsims):
             start = tick()
             with self.counters.scope("main"):
-                metrics = self.step()
-                metrics = jax.device_get(metrics)
+                metrics = jax.device_get(self.step())
             stop = tick()
             self.rmse = float(metrics.rmse)
             self.rmse_avg = float(metrics.rmse_avg)
@@ -314,11 +428,10 @@ class BPMF:
             )
             if cfg.verbose and cfg.output_dir:
                 # per-iteration model dump (-v, c++/bpmf.cpp:200-209)
-                u = np.asarray(self.state_u.items[: self.users.num], np.float64)
-                v = np.asarray(self.state_m.items[: self.movies.num], np.float64)
+                u = self.items_host(self.users, self.state_u)
+                v = self.items_host(self.movies, self.state_m)
                 write_matrix(os.path.join(cfg.output_dir, f"U-{i}.ddm"), u.T)
                 write_matrix(os.path.join(cfg.output_dir, f"V-{i}.ddm"), v.T)
-                sample_dumps.append(i)
 
         elapsed = tick() - begin
 
@@ -384,13 +497,14 @@ class BPMF:
         (K^2 x num) (Sys::finalize_mu_lambda, c++/bpmf.cpp:281-295)."""
         cfg = self.cfg
         nsamples = cfg.nsims - cfg.burnin
-        aggr_mu = np.asarray(state.aggr_mu[: side.num], np.float64)   # [num, K]
-        aggr_prod = np.asarray(state.aggr_prod[: side.num], np.float64)
+        idx = side.maps.orig_to_padded
+        aggr_mu = np.asarray(state.aggr_mu, np.float64)[idx]     # [num, K]
+        aggr_prod = np.asarray(state.aggr_prod, np.float64)[idx]
         k = aggr_mu.shape[1]
         outer = np.einsum("nk,nl->nkl", aggr_mu, aggr_mu) / nsamples
         cov = (aggr_prod - outer) / (nsamples - 1)
-        prec = np.linalg.inv(cov)                                      # [num, K, K]
-        mu = (aggr_mu / nsamples).T                                    # [K, num]
+        prec = np.linalg.inv(cov)                                 # [num, K, K]
+        mu = (aggr_mu / nsamples).T                               # [K, num]
         # column i = vec(prec_i) column-major, like Eigen Map (bpmf.cpp:292)
         lam = prec.transpose(1, 2, 0).reshape(k * k, side.num, order="F")
         return mu, lam

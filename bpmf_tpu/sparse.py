@@ -47,9 +47,13 @@ class Bucket:
 
     rows:   ``nbr``/``val``/``mask`` are [R, W]; each row contributes a
             partial Gram/rhs for the item in slot ``row_slot[r]``.
-    slots:  ``item_ids`` [S] maps slot -> global item index (padded slots
-            point at the side's scratch item); ``slot_valid`` [S] is 0 for
-            padding slots.
+    slots:  ``item_ids`` [S] maps slot -> index in the (possibly local)
+            items array this bucket scatters into (padded slots point at the
+            side's scratch item); ``orig_ids`` [S] is the item's ORIGINAL
+            global index, used only to derive the per-item noise key so that
+            sampled trajectories are independent of sharding and bucketing —
+            the analog of the reference's rng_set_pos((idx+1)*K*(iter+1))
+            (c++/sample.cpp:266); ``slot_valid`` [S] is 0 for padding slots.
     ``split`` is True when R != S (row-split items present) and the update
     kernel must segment-sum row partials into slots.
     """
@@ -58,7 +62,8 @@ class Bucket:
     val: np.ndarray        # [R, W] float64 — raw ratings (centered on device)
     mask: np.ndarray       # [R, W] float32 — 1 for real entries
     row_slot: np.ndarray   # [R] int32 — output slot per row (sorted)
-    item_ids: np.ndarray   # [S] int32 — global item index per slot
+    item_ids: np.ndarray   # [S] int32 — scatter index per slot
+    orig_ids: np.ndarray   # [S] int32 — original global item index per slot
     slot_valid: np.ndarray # [S] float32
     split: bool
 
@@ -184,6 +189,7 @@ def bucketize(
                 mask=mask,
                 row_slot=rslot,
                 item_ids=ids_arr,
+                orig_ids=ids_arr.copy(),
                 slot_valid=valid,
                 split=split,
             )

@@ -1,0 +1,103 @@
+"""SPMD tests on the virtual 8-device CPU mesh (the analog of the
+reference CI's oversubscribed ``mpirun -np 4``, SURVEY.md §4).
+
+The strongest property: per-item noise is keyed by ORIGINAL item id
+(ops/update.item_noise), so the sampled trajectory is independent of device
+count, item-to-device assignment, AND exchange mode — mirroring the
+reference's rng_set_pos((idx+1)*K*(iter+1)) schedule independence across
+nprocs."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from bpmf_tpu.config import Config
+from bpmf_tpu.sampler import BPMF
+from tests.conftest import make_ratings
+
+
+def _run(train, test, **kw):
+    cfg = Config(num_latent=6, nsims=8, burnin=3, **kw)
+    s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    rmse = s.run()
+    u = s.items_host(s.users, s.state_u)
+    v = s.items_host(s.movies, s.state_m)
+    return rmse, u, v
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_ratings(n_users=70, n_movies=45, density=0.3, seed=11)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_device_count_invariance(data):
+    """1-device and 8-device gather runs produce the same trajectory."""
+    train, test = data
+    r1, u1, v1 = _run(train, test, n_devices=1)
+    r8, u8, v8 = _run(train, test, n_devices=8)
+    assert abs(r1 - r8) < 1e-4
+    np.testing.assert_allclose(u1, u8, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(v1, v8, rtol=2e-3, atol=2e-3)
+
+
+def test_reduce_mode_matches_gather(data):
+    """Statistic exchange (ENABLE_REDUCE) == value exchange trajectories."""
+    train, test = data
+    rg, ug, vg = _run(train, test, n_devices=8, comm_mode="gather")
+    rr, ur, vr = _run(train, test, n_devices=8, comm_mode="reduce")
+    assert abs(rg - rr) < 1e-4
+    np.testing.assert_allclose(ug, ur, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(vg, vr, rtol=2e-3, atol=2e-3)
+
+
+def test_no_balance_assignment(data):
+    """-k contiguous block assignment also runs and converges the same."""
+    train, test = data
+    r_bal, u_bal, _ = _run(train, test, n_devices=8, permute=True)
+    r_blk, u_blk, _ = _run(train, test, n_devices=8, permute=False)
+    assert abs(r_bal - r_blk) < 1e-4
+    np.testing.assert_allclose(u_bal, u_blk, rtol=2e-3, atol=2e-3)
+
+
+def test_reduce_mode_single_device(data):
+    train, test = data
+    rg, ug, _ = _run(train, test, n_devices=1, comm_mode="gather")
+    rr, ur, _ = _run(train, test, n_devices=1, comm_mode="reduce")
+    assert abs(rg - rr) < 1e-4
+    np.testing.assert_allclose(ug, ur, rtol=2e-3, atol=2e-3)
+
+
+def test_spmd_with_aggregation_outputs(tmp_path, data):
+    """Aggregated posterior works sharded: finalize from an 8-device run
+    equals the 1-device result."""
+    train, test = data
+    out1, out8 = str(tmp_path / "d1"), str(tmp_path / "d8")
+    _run(train, test, n_devices=1, output_dir=out1)
+    _run(train, test, n_devices=8, output_dir=out8)
+    from bpmf_tpu.io import read_matrix
+
+    mu1 = read_matrix(os.path.join(out1, "U-mu.ddm"))
+    mu8 = read_matrix(os.path.join(out8, "U-mu.ddm"))
+    np.testing.assert_allclose(mu1, mu8, rtol=2e-3, atol=2e-3)
+
+
+def test_partition_balance():
+    """Greedy LPT keeps per-device work within 20% of the mean on a skewed
+    degree distribution (Sys::assign's job, c++/assign.cpp:52-209)."""
+    from bpmf_tpu.parallel.partition import assign_items
+
+    rng = np.random.default_rng(0)
+    degrees = (rng.pareto(1.5, size=2000) * 20).astype(np.int64)
+    ids = assign_items(degrees, 8, balance=True)
+    assert sorted(np.concatenate(ids).tolist()) == list(range(2000))
+    work = np.array([(10 + degrees[i]).sum() for i in ids])
+    assert work.max() / work.mean() < 1.2
+
+    ids_blk = assign_items(degrees, 8, balance=False)
+    assert sorted(np.concatenate(ids_blk).tolist()) == list(range(2000))

@@ -18,6 +18,7 @@ def _to_dev(b, dtype=jnp.float32):
         mask=jnp.asarray(b.mask, dtype),
         row_slot=jnp.asarray(b.row_slot),
         item_ids=jnp.asarray(b.item_ids),
+        orig_ids=jnp.asarray(b.orig_ids),
         slot_valid=jnp.asarray(b.slot_valid),
     )
 
@@ -90,7 +91,7 @@ def test_split_bucket_matches_unsplit(rng):
         hp=hp,
         mean_rating=jnp.asarray(2.0, jnp.float32),
         alpha=2.0,
-        key=jax.random.PRNGKey(0),
+        side_key=jax.random.PRNGKey(0),
         noise_scale=0.0,
     )
 
@@ -121,7 +122,7 @@ def test_diagonal_only_mode(rng):
         hp=hp,
         mean_rating=jnp.asarray(0.0, jnp.float32),
         alpha=2.0,
-        key=jax.random.PRNGKey(1),
+        side_key=jax.random.PRNGKey(1),
         split=b.split,
         noise_scale=0.0,
     )
@@ -159,7 +160,7 @@ def test_prop_posterior_strict_quirk(rng):
         hp=hp,
         mean_rating=jnp.asarray(0.0, jnp.float32),
         alpha=2.0,
-        key=jax.random.PRNGKey(2),
+        side_key=jax.random.PRNGKey(2),
         split=b.split,
         prop_mu=jnp.asarray(prop_mu, jnp.float32),
         prop_lambda=jnp.asarray(prop_lam, jnp.float32),
