@@ -36,18 +36,16 @@ def main() -> None:
     k = int(os.environ.get("BENCH_K", "32"))
 
     train, test = synth_movielens()
-    cfg = Config(num_latent=k, nsims=2 + iters, burnin=2)
+    cfg = Config(num_latent=k, nsims=2 * iters, burnin=2)
     sampler = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
     sampler.setup()
 
-    # warmup (compile + first steps)
-    for _ in range(2):
-        metrics = sampler.step()
+    # warmup: same chunk size as the timed run so exactly one compile
+    metrics = sampler.run_chunk(iters)
     jax.block_until_ready(metrics)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        metrics = sampler.step()
+    metrics = sampler.run_chunk(iters)
     jax.block_until_ready(metrics)
     elapsed = time.perf_counter() - t0
 
@@ -59,7 +57,7 @@ def main() -> None:
         open(os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json"))
     )["derived"]["items_per_sec_64thread_upper_bound"]
 
-    rmse = float(jax.device_get(metrics.rmse_avg))
+    rmse = float(jax.device_get(metrics.rmse_avg)[-1])
     result = {
         "metric": f"user+item updates/sec (ml-1m synth, K={k})",
         "value": round(items_per_sec, 1),

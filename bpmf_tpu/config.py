@@ -45,6 +45,7 @@ class Config:
     diagonal_only: bool = False   # BPMF_NO_COVARIANCE (c++/sample.cpp:300-304)
     profile: bool = False         # ENABLE_PROFILING analog
     use_pallas: str = "auto"      # 'auto' | 'always' | 'never' for the hot kernel
+    solver: str = "auto"          # batched Cholesky+solve: 'auto'|'xla'|'unrolled'
     max_bucket_width: int = 4096  # degree cap per bucket row (segment fallback above)
     strict_reference: bool = True # keep reference quirks (see ops/update.py)
 
@@ -55,3 +56,12 @@ class Config:
             raise ValueError(f"bad dtype {self.dtype!r}")
         if self.num_latent < 1:
             raise ValueError("num_latent must be >= 1")
+        if self.solver not in ("auto", "xla", "unrolled"):
+            raise ValueError(f"bad solver {self.solver!r}")
+
+    def resolve_solver(self, backend: str) -> str:
+        """XLA's LAPACK-backed batched Cholesky wins on CPU; the unrolled
+        VPU formulation wins on TPU (measured; see ops/cholsolve.py)."""
+        if self.solver != "auto":
+            return self.solver
+        return "unrolled" if backend == "tpu" else "xla"

@@ -19,8 +19,16 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from bpmf_tpu.ops.cholsolve import chol_solve_sample_unrolled
 from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
-from bpmf_tpu.ops.update import BucketDev, sample_bucket
+from bpmf_tpu.ops.update import (
+    BucketDev,
+    chol_solve_sample,
+    gram_rhs,
+    item_noise,
+    posterior_precision_rhs,
+    sample_bucket,
+)
 
 
 class SideState(NamedTuple):
@@ -108,46 +116,64 @@ def sweep_core(
     diagonal_only: bool = False,
     strict_reference: bool = True,
     noise_scale: float = 1.0,
+    solver: str = "unrolled",
+    noise_num: Optional[int] = None,
 ):
     """Resample the items covered by ``data.buckets`` and accumulate
     (sum, prod, norm) and optional post-burnin aggregates.  Shared by the
     single-device path and the shard_map SPMD body (where ``items`` and the
-    buckets are the device-local shard)."""
+    buckets are the device-local shard).
+
+    Two stages: (1) per degree bucket, the MXU Gram/rhs accumulation —
+    shapes differ per bucket; (2) all buckets concatenated into ONE batched
+    prior-combine + Cholesky-solve-sample + scatter + stats pass, so the
+    O(num_items) part of the program appears once regardless of how many
+    degree buckets exist."""
     k = other_items.shape[-1]
     dtype = other_items.dtype
-    s = jnp.zeros((k,), dtype)
-    prod = jnp.zeros((k, k), dtype)
-    norm = jnp.zeros((), dtype)
-    aggr_on = jnp.asarray(it >= burnin, dtype)
 
+    grams, rhss, ids, origs, valids = [], [], [], [], []
     for b, bucket in enumerate(data.buckets):
-        out = sample_bucket(
-            bucket,
-            other_items,
-            hp,
-            mean_rating,
-            alpha,
-            side_key,
-            split=splits[b],
-            prop_mu=data.prop_mu,
-            prop_lambda=data.prop_lambda,
-            diagonal_only=diagonal_only,
-            strict_reference=strict_reference,
-            noise_scale=noise_scale,
+        n_slots = bucket.item_ids.shape[0]
+        g, r = gram_rhs(
+            bucket, other_items, mean_rating, alpha,
+            split=splits[b], n_slots=n_slots,
         )
-        uv = out.u * out.slot_valid[:, None]
-        items = items.at[out.item_ids].set(out.u, mode="drop")
-        s = s + uv.sum(axis=0)
-        prod = prod + jnp.einsum(
-            "sk,sl->kl", uv, out.u, preferred_element_type=dtype
+        grams.append(g)
+        rhss.append(r)
+        ids.append(bucket.item_ids)
+        origs.append(bucket.orig_ids)
+        valids.append(bucket.slot_valid)
+
+    gram = jnp.concatenate(grams) if len(grams) > 1 else grams[0]
+    rhs = jnp.concatenate(rhss) if len(rhss) > 1 else rhss[0]
+    item_ids = jnp.concatenate(ids) if len(ids) > 1 else ids[0]
+    orig_ids = jnp.concatenate(origs) if len(origs) > 1 else origs[0]
+    slot_valid = jnp.concatenate(valids) if len(valids) > 1 else valids[0]
+
+    precision, full_rhs = posterior_precision_rhs(
+        gram, rhs, item_ids, hp, alpha,
+        prop_mu=data.prop_mu, prop_lambda=data.prop_lambda,
+        diagonal_only=diagonal_only, strict_reference=strict_reference,
+    )
+    noise = item_noise(side_key, orig_ids, k, dtype, num=noise_num)
+    if noise_scale != 1.0:  # test hook: deterministic posterior-mean checks
+        noise = noise * noise_scale
+    solve = chol_solve_sample_unrolled if solver == "unrolled" else chol_solve_sample
+    u = solve(precision, full_rhs, noise)
+
+    uv = u * slot_valid[:, None]
+    items = items.at[item_ids].set(u, mode="drop")
+    s = uv.sum(axis=0)
+    prod = jnp.einsum("sk,sl->kl", uv, u, preferred_element_type=dtype)
+    norm = jnp.vdot(uv, u)
+    aggr_on = jnp.asarray(it >= burnin, dtype)
+    if aggr_mu is not None:
+        # aggrMu/aggrLambda accumulation post-burnin (c++/sample.cpp:364-368)
+        aggr_mu = aggr_mu.at[item_ids].add(uv * aggr_on, mode="drop")
+        aggr_prod = aggr_prod.at[item_ids].add(
+            jnp.einsum("sk,sl->skl", uv * aggr_on, u), mode="drop"
         )
-        norm = norm + jnp.vdot(uv, out.u)
-        if aggr_mu is not None:
-            # aggrMu/aggrLambda accumulation post-burnin (c++/sample.cpp:364-368)
-            aggr_mu = aggr_mu.at[out.item_ids].add(uv * aggr_on, mode="drop")
-            aggr_prod = aggr_prod.at[out.item_ids].add(
-                jnp.einsum("sk,sl->skl", uv * aggr_on, out.u), mode="drop"
-            )
     return items, s, prod, norm, aggr_mu, aggr_prod
 
 
@@ -166,6 +192,7 @@ def half_sweep(
     diagonal_only: bool = False,
     strict_reference: bool = True,
     noise_scale: float = 1.0,
+    solver: str = "unrolled",
     psum_axis: Optional[str] = None,
 ) -> SideState:
     """Resample every item of one side given the other side's items
@@ -198,6 +225,8 @@ def half_sweep(
         diagonal_only=diagonal_only,
         strict_reference=strict_reference,
         noise_scale=noise_scale,
+        solver=solver,
+        noise_num=num,
     )
 
     if psum_axis is not None:
@@ -277,6 +306,7 @@ def gibbs_iter(
     diagonal_only: bool = False,
     strict_reference: bool = True,
     noise_scale: float = 1.0,
+    solver: str = "unrolled",
 ) -> tuple[SideState, SideState, EvalState, Metrics]:
     """One full Gibbs iteration (c++/bpmf.cpp:184-196): movies given users,
     users given movies, then evaluation."""
@@ -295,6 +325,7 @@ def gibbs_iter(
         diagonal_only=diagonal_only,
         strict_reference=strict_reference,
         noise_scale=noise_scale,
+        solver=solver,
     )
     users = half_sweep(
         users,
@@ -310,6 +341,7 @@ def gibbs_iter(
         diagonal_only=diagonal_only,
         strict_reference=strict_reference,
         noise_scale=noise_scale,
+        solver=solver,
     )
     est, rmse, rmse_avg = predict(
         ev,

@@ -1,0 +1,86 @@
+"""Batched small-matrix Cholesky + triangular solves, unrolled over K.
+
+XLA's generic ``lax.linalg.cholesky`` / ``triangular_solve`` target large
+matrices (blocked algorithms, dynamic slicing); for BPMF's [B, K, K] batches
+of tiny K (16-64) they leave most of the VPU idle.  Since K is static we
+unroll the K-step Cholesky-Banachiewicz recursion and the two substitutions
+into pure element-wise/matvec ops over the batch dimension — every step is a
+[B, j] contraction the VPU vectorizes over B, and XLA fuses the whole chain.
+
+Used by the conditional update (the per-item solve of c++/sample.cpp:306-323)
+through ``chol_solve_sample``; the ``xla`` solver remains available via
+Config.solver for cross-checking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cholesky_unrolled", "solve_lower", "solve_upper", "chol_solve_sample_unrolled"]
+
+
+def cholesky_unrolled(a: jax.Array) -> jax.Array:
+    """Lower Cholesky factor of a batch of SPD matrices, [B, K, K].
+
+    Column-by-column Cholesky-Banachiewicz with static K, vectorized over
+    the batch.  Columns are built as a list and stacked once (no scatter).
+    """
+    k = a.shape[-1]
+    cols = []  # cols[j]: [B, K] column j of L (zeros above the diagonal)
+    for j in range(k):
+        if j == 0:
+            s = a[..., :, 0]                       # [B, K]
+        else:
+            lj = [c[..., j] for c in cols]         # row j of L, entries < j
+            # s_i = a_ij - sum_{m<j} L_im * L_jm
+            prev = jnp.stack(lj, axis=-1)          # [B, j]
+            lmat = jnp.stack(cols, axis=-1)        # [B, K, j]
+            s = a[..., :, j] - jnp.einsum("bkj,bj->bk", lmat, prev)
+        djj = jnp.sqrt(s[..., j])
+        col = s / djj[..., None]
+        # zero entries above the diagonal
+        mask = (jnp.arange(k) >= j).astype(a.dtype)
+        cols.append(col * mask)
+    return jnp.stack(cols, axis=-1)
+
+
+def solve_lower(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution: solve L y = b for lower-triangular L.
+    l: [B, K, K], b: [B, K]."""
+    k = l.shape[-1]
+    ys = []
+    for j in range(k):
+        s = b[..., j]
+        if j > 0:
+            prev = jnp.stack(ys, axis=-1)          # [B, j]
+            s = s - jnp.einsum("bj,bj->b", l[..., j, :j], prev)
+        ys.append(s / l[..., j, j])
+    return jnp.stack(ys, axis=-1)
+
+
+def solve_upper(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Back substitution: solve L' x = b (L lower triangular).
+    l: [B, K, K], b: [B, K]."""
+    k = l.shape[-1]
+    xs = [None] * k
+    for j in range(k - 1, -1, -1):
+        s = b[..., j]
+        if j < k - 1:
+            tail = jnp.stack(xs[j + 1 :], axis=-1)  # [B, K-1-j]
+            # (L')_{j,i} = L_{i,j} for i > j
+            s = s - jnp.einsum("bj,bj->b", l[..., j + 1 :, j], tail)
+        xs[j] = s / l[..., j, j]
+    return jnp.stack(xs, axis=-1)
+
+
+def chol_solve_sample_unrolled(
+    precision: jax.Array,  # [B, K, K]
+    rhs: jax.Array,        # [B, K]
+    noise: jax.Array,      # [B, K]
+) -> jax.Array:
+    """u = L'^-1 (noise + L^-1 rhs), L L' = precision — identical math to
+    ops.update.chol_solve_sample but unrolled (c++/sample.cpp:306-324)."""
+    l = cholesky_unrolled(precision)
+    y = solve_lower(l, rhs) + noise
+    return solve_upper(l, y)

@@ -45,9 +45,11 @@ class HyperParams(NamedTuple):
 
     @staticmethod
     def init(num_latent: int, dtype=jnp.float32) -> "HyperParams":
-        eye = jnp.eye(num_latent, dtype=dtype)
+        # distinct buffers: aliased leaves break donation (donate-twice)
         return HyperParams(
-            mu=jnp.zeros((num_latent,), dtype=dtype), lambda_f=eye, lambda_l=eye
+            mu=jnp.zeros((num_latent,), dtype=dtype),
+            lambda_f=jnp.eye(num_latent, dtype=dtype),
+            lambda_l=jnp.eye(num_latent, dtype=dtype),
         )
 
 

@@ -12,8 +12,8 @@ vectors {v_j} and centered ratings {r_ij - mean}:
 Batched over a degree bucket: the Gram accumulation is one
 ``einsum('rwk,rwl->rkl')`` (MXU batched matmul), Cholesky and the two
 triangular solves use the batched ``lax.linalg`` primitives, and the noise
-comes from threefry keys folded per (side, iter, bucket) — preserving the
-reference's schedule-independent determinism property
+is row ``orig_id`` of a per-(side, iter) threefry table (see noise_table) —
+preserving the reference's schedule-independent determinism property
 (rng_set_pos((idx+1)*K*(iter+1)), c++/sample.cpp:266) statistically.
 
 Reference quirk kept under Config.strict_reference (default): with a
@@ -67,13 +67,19 @@ def gram_rhs(
     The O(nnz * K^2) dominant work of the sweep (computeMuLambda,
     c++/sample.cpp:248-258) as MXU batched matmuls.
     """
-    vg = other_items[bucket.nbr]                       # [R, W, K] gather
+    r_rows, width = bucket.nbr.shape
+    k = other_items.shape[-1]
+    # flat 1-D row gather: 2-D index arrays compile to a pathological
+    # gather on TPU (minutes of compile, ~30x slower execution — measured);
+    # the flat form lowers to the fast row-gather path.
+    vg = jnp.take(other_items, bucket.nbr.reshape(-1), axis=0)
+    vg = vg.reshape(r_rows, width, k)                  # [R, W, K]
     vg = vg * bucket.mask[..., None]
-    w = (bucket.val - mean_rating) * bucket.mask * alpha   # [R, W]
+    wts = (bucket.val - mean_rating) * bucket.mask * alpha  # [R, W]
     gram = jnp.einsum(
         "rwk,rwl->rkl", vg, vg, preferred_element_type=vg.dtype
     )
-    rhs = jnp.einsum("rwk,rw->rk", vg, w, preferred_element_type=vg.dtype)
+    rhs = jnp.einsum("rwk,rw->rk", vg, wts, preferred_element_type=vg.dtype)
     if split:
         gram = jax.ops.segment_sum(gram, bucket.row_slot, num_segments=n_slots)
         rhs = jax.ops.segment_sum(rhs, bucket.row_slot, num_segments=n_slots)
@@ -101,17 +107,30 @@ def chol_solve_sample(
     return u[..., 0]
 
 
-def item_noise(side_key: jax.Array, orig_ids: jax.Array, k: int, dtype) -> jax.Array:
-    """Per-item N(0, I_K) noise keyed by the ORIGINAL global item id.
+def noise_table(side_key: jax.Array, num: int, k: int, dtype) -> jax.Array:
+    """N(0, I_K) noise for EVERY item of a side, [num + 1, K] (row ``num``
+    feeds padding slots).
 
     This is the TPU analog of the reference's counter-based RNG positioning
     rng_set_pos((idx+1)*K*(iter+1)) (c++/sample.cpp:266): the draw for item
     idx depends only on (seed, side, iter, idx) — NOT on which device,
-    bucket, or slot processes it — so trajectories are bitwise independent
-    of sharding layout and exchange mode (the reference has the same
-    property across nprocs)."""
-    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(side_key, orig_ids)
-    return jax.vmap(lambda kk: jax.random.normal(kk, (k,), dtype=dtype))(keys)
+    bucket, or slot processes it — so trajectories are independent of
+    sharding layout and exchange mode (the reference has the same property
+    across nprocs).  One batched threefry call; under SPMD every device
+    computes the identical table (redundant but trivially cheap) and
+    row-gathers its slots.  A per-item vmapped fold_in would be the direct
+    analog but compiles catastrophically on TPU (~300 s — measured)."""
+    return jax.random.normal(side_key, (num + 1, k), dtype=dtype)
+
+
+def item_noise(side_key: jax.Array, orig_ids: jax.Array, k: int, dtype,
+               num: Optional[int] = None) -> jax.Array:
+    """Noise rows for the given original item ids (see noise_table).
+    ``num`` is the side's GLOBAL item count; defaults to max over the batch
+    only for convenience in tests — pass it explicitly in real use."""
+    n = int(num) if num is not None else int(orig_ids.shape[0])
+    table = noise_table(side_key, max(n, int(orig_ids.shape[0])), k, dtype)
+    return jnp.take(table, orig_ids, axis=0)
 
 
 def posterior_precision_rhs(
@@ -166,6 +185,7 @@ def sample_bucket(
     diagonal_only: bool = False,
     strict_reference: bool = True,
     noise_scale: float = 1.0,
+    noise_num: Optional[int] = None,
 ) -> UpdateOut:
     """Draw new vectors for every item slot of one degree bucket."""
     n_slots = bucket.item_ids.shape[0]
@@ -187,7 +207,7 @@ def sample_bucket(
         strict_reference=strict_reference,
     )
 
-    noise = item_noise(side_key, bucket.orig_ids, k, dtype)
+    noise = item_noise(side_key, bucket.orig_ids, k, dtype, num=noise_num)
     if noise_scale != 1.0:  # test hook: deterministic posterior-mean checks
         noise = noise * noise_scale
     u = chol_solve_sample(precision, full_rhs, noise)

@@ -48,6 +48,7 @@ from bpmf_tpu.models.bpmf import (
     sweep_core,
 )
 from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
+from bpmf_tpu.ops.cholsolve import chol_solve_sample_unrolled
 from bpmf_tpu.ops.update import (
     BucketDev,
     chol_solve_sample,
@@ -93,6 +94,7 @@ def gather_half_sweep(
     diagonal_only: bool,
     strict_reference: bool,
     noise_scale: float,
+    solver: str = "unrolled",
 ) -> SideState:
     """Value-exchange half-sweep (Sys::sample + bcast-family comm)."""
     dtype = other_items.dtype
@@ -128,6 +130,8 @@ def gather_half_sweep(
             diagonal_only=diagonal_only,
             strict_reference=strict_reference,
             noise_scale=noise_scale,
+            solver=solver,
+            noise_num=num,
         )
         # reduce_sum_cov_norm (c++/mpi_common.h:44-50) as one fused psum
         s = lax.psum(s, AXIS)
@@ -198,6 +202,7 @@ def reduce_half_sweep(
     diagonal_only: bool,
     strict_reference: bool,
     noise_scale: float,
+    solver: str = "unrolled",
 ) -> SideState:
     """Statistic-exchange half-sweep (ENABLE_REDUCE family)."""
     dtype = other_items.dtype
@@ -244,10 +249,14 @@ def reduce_half_sweep(
             diagonal_only=diagonal_only,
             strict_reference=strict_reference,
         )
-        noise = item_noise(side_key, local_orig_l, k, dtype)
+        noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
         if noise_scale != 1.0:
             noise = noise * noise_scale
-        u = chol_solve_sample(precision, full_rhs, noise)
+        solve = (
+            chol_solve_sample_unrolled if solver == "unrolled"
+            else chol_solve_sample
+        )
+        u = solve(precision, full_rhs, noise)
 
         uv = u * local_valid_l[:, None]
         s = lax.psum(uv.sum(axis=0), AXIS)

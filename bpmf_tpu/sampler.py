@@ -197,6 +197,14 @@ class BPMF:
         if self._setup_done:
             return
         cfg = self.cfg
+        # Persistent XLA compilation cache: TPU compiles of the sweep program
+        # can take minutes (backend-dependent); cache them across processes.
+        cache_dir = os.environ.get(
+            "BPMF_XLA_CACHE", os.path.expanduser("~/.cache/bpmf_tpu_xla")
+        )
+        if cache_dir and not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         if cfg.dtype == "float64":
             jax.config.update("jax_enable_x64", True)
         self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
@@ -285,6 +293,7 @@ class BPMF:
 
         mesh = self.mesh
         mode = self.mode
+        self.solver = cfg.resolve_solver(jax.default_backend())
         common = dict(
             mean_rating=mean_rating,
             alpha=cfg.alpha,
@@ -292,6 +301,7 @@ class BPMF:
             diagonal_only=cfg.diagonal_only,
             strict_reference=cfg.strict_reference,
             noise_scale=1.0,
+            solver=self.solver,
         )
 
         def sweep(state, gdata, rdata, other_items, key, it, side: Side):
@@ -334,8 +344,52 @@ class BPMF:
             return state_m, state_u, est2, metrics
 
         self._iter_fn = jax.jit(_iter, donate_argnums=(0, 1, 2))
+        self._iter_impl = _iter
+        self._chunk_fns: dict[int, object] = {}
         self._setup_done = True
         self._log_banner()
+
+    def _chunk_fn(self, n: int):
+        """Jitted scan over n full Gibbs iterations — one dispatch, one
+        device sync; amortizes host/launch latency over the inherently
+        serial MCMC chain (SURVEY.md §7 risk 4)."""
+        if n in self._chunk_fns:
+            return self._chunk_fns[n]
+        import jax.lax as lax
+
+        iter_impl = self._iter_impl
+
+        def chunk(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
+                  ev, key, it0):
+            def body(carry, j):
+                sm, su, e = carry
+                sm, su, e, met = iter_impl(
+                    sm, su, e, m_gdata, m_rdata, u_gdata, u_rdata,
+                    ev, key, it0 + j,
+                )
+                return (sm, su, e), met
+            (sm, su, e), mets = lax.scan(
+                body, (state_m, state_u, est), jnp.arange(n, dtype=jnp.int32)
+            )
+            return sm, su, e, mets
+
+        fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
+        self._chunk_fns[n] = fn
+        return fn
+
+    def run_chunk(self, n: int) -> Metrics:
+        """Advance the chain n iterations in one XLA call; returns stacked
+        per-iteration Metrics (leading axis n)."""
+        fn = self._chunk_fn(n)
+        it0 = jnp.asarray(self.iter + 1, jnp.int32)
+        self.state_m, self.state_u, self.est, mets = fn(
+            self.state_m, self.state_u, self.est,
+            self.movies_gdata, self.movies_rdata,
+            self.users_gdata, self.users_rdata,
+            self.ev, self.key, it0,
+        )
+        self.iter += n
+        return mets
 
     def _log(self, msg: str) -> None:
         print(msg, file=self.out, flush=True)
