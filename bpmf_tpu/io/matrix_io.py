@@ -232,12 +232,41 @@ def _write_csv(f, X: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _read_native(path: str, ext: str):
+    """Fast C++ reader (bpmf_tpu/io/native); None when unavailable."""
+    from bpmf_tpu.io import native
+
+    if native.get_lib() is None:
+        return None
+    try:
+        if ext in (".mtx", ".mm"):
+            out = native.read_mtx(path)
+            if out[0] == "dense":
+                return out[1]
+            _, nrow, ncol, rows, cols, vals = out
+            return sp.csc_matrix((vals, (rows, cols)), shape=(nrow, ncol))
+        if ext in (".sdm", ".sbm"):
+            nrow, ncol, rows, cols, vals = native.read_sparse_bin(
+                path, pattern=(ext == ".sbm")
+            )
+            return sp.csc_matrix((vals, (rows, cols)), shape=(nrow, ncol))
+        if ext == ".ddm":
+            return native.read_dense_bin(path)
+    except IOError:
+        return None
+    return None
+
+
 def read_matrix(path: str):
     """Read a matrix file; returns csc_matrix for sparse formats,
-    ndarray for dense formats (extension-dispatched like c++/io.cpp:166)."""
+    ndarray for dense formats (extension-dispatched like c++/io.cpp:166).
+    Uses the native C++ reader when available, this module otherwise."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     ext, gz = _split_ext(path)
+    native_out = _read_native(path, ext)
+    if native_out is not None:
+        return native_out
     if ext in (".mtx", ".mm"):
         with _open_read(path, gz, text=True) as f:
             return _read_mtx(f)
@@ -270,10 +299,40 @@ def read_dense(path: str) -> np.ndarray:
     return X
 
 
+def _write_native(path: str, ext: str, gz: bool, X) -> bool:
+    from bpmf_tpu.io import native
+
+    if native.get_lib() is None:
+        return False
+    try:
+        if ext in (".sdm", ".sbm"):
+            coo = X.tocoo()
+            order = np.lexsort((coo.row, coo.col))  # column-major like Eigen
+            rows, cols, vals = coo.row[order], coo.col[order], coo.data[order]
+            if ext == ".sbm":
+                keep = vals > 0
+                rows, cols, vals = rows[keep], cols[keep], vals[keep]
+            native.write_sparse_bin(
+                path, ext == ".sbm", gz, X.shape[0], X.shape[1],
+                rows, cols, vals,
+            )
+            return True
+        if ext == ".ddm":
+            native.write_dense_bin(path, gz, np.asarray(X, np.float64))
+            return True
+    except IOError:
+        return False
+    return False
+
+
 def write_matrix(path: str, X) -> None:
-    """Write a matrix file; format chosen by extension (c++/io.cpp:560)."""
+    """Write a matrix file; format chosen by extension (c++/io.cpp:560).
+    Uses the native C++ writer for the binary formats when available."""
     ext, gz = _split_ext(path)
     sparse = sp.issparse(X)
+    if ext in (".sdm", ".sbm", ".ddm") and (sparse == (ext != ".ddm")):
+        if _write_native(path, ext, gz, X):
+            return
     if ext in (".mtx", ".mm"):
         with _open_write(path, gz, text=True) as f:
             (_write_mtx_sparse if sparse else _write_mtx_dense)(f, X)
