@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diagonal-only", action="store_true",
                    help="diagonal precision only (ONLY_VARIANCE analog)")
     p.add_argument("--pallas", choices=["auto", "always", "never"], default="auto")
+    p.add_argument("--chunk", type=int, default=1, metavar="N",
+                   help="iterations per device dispatch (lax.scan); 1 matches "
+                        "the reference's per-iteration cadence, larger values "
+                        "amortize host latency for production runs")
+    p.add_argument("--solver", choices=["auto", "xla", "unrolled"], default="auto",
+                   help="batched Cholesky backend")
     return p
 
 
@@ -85,6 +91,8 @@ def config_from_args(args) -> Config:
         diagonal_only=args.diagonal_only,
         profile=args.profile,
         use_pallas=args.pallas,
+        chunk=args.chunk,
+        solver=args.solver,
     )
 
 

@@ -46,6 +46,7 @@ class Config:
     profile: bool = False         # ENABLE_PROFILING analog
     use_pallas: str = "auto"      # 'auto' | 'always' | 'never' for the hot kernel
     solver: str = "auto"          # batched Cholesky+solve: 'auto'|'xla'|'unrolled'
+    chunk: int = 1                # Gibbs iterations per device dispatch
     max_bucket_width: int = 4096  # degree cap per bucket row (segment fallback above)
     strict_reference: bool = True # keep reference quirks (see ops/update.py)
 

@@ -460,32 +460,47 @@ class BPMF:
         num_items = self.users.num + self.movies.num
         nnz = self.train.nnz
 
-        for i in range(cfg.nsims):
+        chunk = max(1, cfg.chunk) if not cfg.verbose else 1
+        done = 0
+        while done < cfg.nsims:
+            n = min(chunk, cfg.nsims - done)
             start = tick()
             with self.counters.scope("main"):
-                metrics = jax.device_get(self.step())
+                if n == 1:
+                    metrics = jax.device_get(self.step())
+                    stacked = [metrics]
+                else:
+                    stacked_dev = self.run_chunk(n)
+                    stacked = [
+                        Metrics(*(np.asarray(x)[j] for x in stacked_dev))
+                        for j in range(n)
+                    ]
             stop = tick()
-            self.rmse = float(metrics.rmse)
-            self.rmse_avg = float(metrics.rmse_avg)
-            items_per_sec = num_items / (stop - start)
-            ratings_per_sec = nnz / (stop - start)
-            self.average_items_sec += items_per_sec
-            self.average_ratings_sec += ratings_per_sec
-            phase = "Burnin" if self.iter < cfg.burnin else "Sampling"
-            self._log(
-                f"0: {phase} iteration {self.iter}:\t RMSE: {self.rmse:3.4f}\t"
-                f"avg RMSE: {self.rmse_avg:3.4f}\t"
-                f"FU({float(metrics.norm_users):6.2f})\t"
-                f"FM({float(metrics.norm_movies):6.2f})\t"
-                f"items/sec: {items_per_sec:6.2f}\t"
-                f"ratings/sec: {ratings_per_sec / 1e6:6.2f}M"
-            )
+            per_iter = (stop - start) / n
+            items_per_sec = num_items / per_iter
+            ratings_per_sec = nnz / per_iter
+            for j, metrics in enumerate(stacked):
+                it = done + j
+                self.rmse = float(metrics.rmse)
+                self.rmse_avg = float(metrics.rmse_avg)
+                self.average_items_sec += items_per_sec
+                self.average_ratings_sec += ratings_per_sec
+                phase = "Burnin" if it < cfg.burnin else "Sampling"
+                self._log(
+                    f"0: {phase} iteration {it}:\t RMSE: {self.rmse:3.4f}\t"
+                    f"avg RMSE: {self.rmse_avg:3.4f}\t"
+                    f"FU({float(metrics.norm_users):6.2f})\t"
+                    f"FM({float(metrics.norm_movies):6.2f})\t"
+                    f"items/sec: {items_per_sec:6.2f}\t"
+                    f"ratings/sec: {ratings_per_sec / 1e6:6.2f}M"
+                )
             if cfg.verbose and cfg.output_dir:
                 # per-iteration model dump (-v, c++/bpmf.cpp:200-209)
                 u = self.items_host(self.users, self.state_u)
                 v = self.items_host(self.movies, self.state_m)
-                write_matrix(os.path.join(cfg.output_dir, f"U-{i}.ddm"), u.T)
-                write_matrix(os.path.join(cfg.output_dir, f"V-{i}.ddm"), v.T)
+                write_matrix(os.path.join(cfg.output_dir, f"U-{done}.ddm"), u.T)
+                write_matrix(os.path.join(cfg.output_dir, f"V-{done}.ddm"), v.T)
+            done += n
 
         elapsed = tick() - begin
 
