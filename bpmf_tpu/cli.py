@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "amortize host latency for production runs")
     p.add_argument("--solver", choices=["auto", "xla", "unrolled"], default="auto",
                    help="batched Cholesky backend")
+    p.add_argument("--checkpoint", default="", metavar="FILE",
+                   help="save full sampler state to FILE (.npz); with "
+                        "--checkpoint-freq N also every N iterations "
+                        "(mid-run resume — the reference has no analog)")
+    p.add_argument("--checkpoint-freq", type=int, default=0, metavar="N")
+    p.add_argument("--resume", default="", metavar="FILE",
+                   help="resume a run from a checkpoint file")
     return p
 
 
@@ -93,6 +100,9 @@ def config_from_args(args) -> Config:
         use_pallas=args.pallas,
         chunk=args.chunk,
         solver=args.solver,
+        checkpoint_path=args.checkpoint,
+        checkpoint_freq=args.checkpoint_freq,
+        resume=args.resume,
     )
 
 

@@ -67,19 +67,31 @@ def gram_rhs(
     The O(nnz * K^2) dominant work of the sweep (computeMuLambda,
     c++/sample.cpp:248-258) as MXU batched matmuls.
     """
+    import os
+
     r_rows, width = bucket.nbr.shape
     k = other_items.shape[-1]
-    # flat 1-D row gather: 2-D index arrays compile to a pathological
-    # gather on TPU (minutes of compile, ~30x slower execution — measured);
-    # the flat form lowers to the fast row-gather path.
-    vg = jnp.take(other_items, bucket.nbr.reshape(-1), axis=0)
-    vg = vg.reshape(r_rows, width, k)                  # [R, W, K]
+    ablate = os.environ.get("BPMF_ABLATE", "")  # perf-debug knob
+    if ablate == "nogather":
+        # skip the neighbor gather entirely (constant fake neighborhoods)
+        vg = jnp.broadcast_to(other_items[:1, None, :], (r_rows, width, k))
+    else:
+        # flat 1-D row gather: 2-D index arrays compile to a pathological
+        # gather on TPU (minutes of compile, ~30x slower execution —
+        # measured); the flat form lowers to the fast row-gather path.
+        vg = jnp.take(other_items, bucket.nbr.reshape(-1), axis=0)
+        vg = vg.reshape(r_rows, width, k)              # [R, W, K]
     vg = vg * bucket.mask[..., None]
     wts = (bucket.val - mean_rating) * bucket.mask * alpha  # [R, W]
-    gram = jnp.einsum(
-        "rwk,rwl->rkl", vg, vg, preferred_element_type=vg.dtype
-    )
-    rhs = jnp.einsum("rwk,rw->rk", vg, wts, preferred_element_type=vg.dtype)
+    if ablate == "nogram":
+        # keep the gather, skip the MXU contraction
+        gram = jnp.zeros((r_rows, k, k), vg.dtype) + vg[:, :1, :1, None]
+        rhs = vg.sum(axis=1)
+    else:
+        gram = jnp.einsum(
+            "rwk,rwl->rkl", vg, vg, preferred_element_type=vg.dtype
+        )
+        rhs = jnp.einsum("rwk,rw->rk", vg, wts, preferred_element_type=vg.dtype)
     if split:
         gram = jax.ops.segment_sum(gram, bucket.row_slot, num_segments=n_slots)
         rhs = jax.ops.segment_sum(rhs, bucket.row_slot, num_segments=n_slots)

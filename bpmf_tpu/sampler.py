@@ -417,11 +417,14 @@ class BPMF:
         self._log(f"update_freq: {cfg.update_freq}")
         for side in (self.movies, self.users):
             layout = side.reduce if self.mode == "reduce" else side.gather
+            # stacked buckets are [D, R, W]
             self._log(
                 f"bucket layout {side.name}: "
                 + ", ".join(
-                    f"{b.nbr.shape[1]}x{b.width}" for b in layout.buckets
+                    f"{b.nbr.shape[0]}x{b.nbr.shape[1]}x{b.nbr.shape[2]}"
+                    for b in layout.buckets
                 )
+                + "  (devices x rows x width)"
             )
 
     # -- Gibbs loop --------------------------------------------------------
@@ -456,12 +459,17 @@ class BPMF:
         Returns Final Avg RMSE."""
         self.setup()
         cfg = self.cfg
+        if cfg.resume:
+            from bpmf_tpu import checkpoint
+
+            checkpoint.load(cfg.resume, self)
+            self._log(f"resumed from {cfg.resume} at iteration {self.iter}")
         begin = tick()
         num_items = self.users.num + self.movies.num
         nnz = self.train.nnz
 
         chunk = max(1, cfg.chunk) if not cfg.verbose else 1
-        done = 0
+        done = self.iter + 1
         while done < cfg.nsims:
             n = min(chunk, cfg.nsims - done)
             start = tick()
@@ -501,6 +509,15 @@ class BPMF:
                 write_matrix(os.path.join(cfg.output_dir, f"U-{done}.ddm"), u.T)
                 write_matrix(os.path.join(cfg.output_dir, f"V-{done}.ddm"), v.T)
             done += n
+            if (
+                cfg.checkpoint_path
+                and cfg.checkpoint_freq
+                and done < cfg.nsims
+                and done % cfg.checkpoint_freq == 0
+            ):
+                from bpmf_tpu import checkpoint
+
+                checkpoint.save(cfg.checkpoint_path, self)
 
         elapsed = tick() - begin
 
@@ -519,6 +536,10 @@ class BPMF:
         self.rmse = float(rmse)
         self.rmse_avg = float(rmse_avg)
 
+        if cfg.checkpoint_path:
+            from bpmf_tpu import checkpoint
+
+            checkpoint.save(cfg.checkpoint_path, self)
         if cfg.output_dir:
             self.write_output()
 

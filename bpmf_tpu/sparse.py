@@ -94,13 +94,18 @@ class BucketedSide:
         return padded / max(self.num_nnz, 1)
 
 
-def _choose_widths(degrees: np.ndarray, min_width: int, max_width: int) -> list[int]:
-    """Power-of-two widths covering the degree distribution (capped)."""
+def _choose_widths(degrees: np.ndarray, min_width: int, max_width: int,
+                   growth: int = 4) -> list[int]:
+    """Geometric widths covering the degree distribution (capped).
+
+    growth=4 keeps the bucket count (and therefore compiled program size)
+    half of a power-of-two ladder at the cost of <= 4x padding per item —
+    the Gram stage is cheap enough that fewer, fatter kernels win on TPU."""
     dmax = int(degrees.max(initial=0))
     w = min_width
     widths = [w]
     while w < dmax and w < max_width:
-        w = min(w * 2, max_width)
+        w = min(w * growth, max_width)
         widths.append(w)
     return widths
 
@@ -110,8 +115,9 @@ def bucketize(
     item_ids: np.ndarray,
     scratch_id: int,
     min_width: int = 8,
-    max_bucket_width: int = 4096,
+    max_bucket_width: int = 2048,
     row_pad: int = _ROW_PAD,
+    growth: int = 4,
 ) -> BucketedSide:
     """Build degree buckets for the given items (columns of ``m_csc``).
 
@@ -126,7 +132,7 @@ def bucketize(
     indptr, indices, data = m_csc.indptr, m_csc.indices, m_csc.data
     degrees = np.asarray(indptr[item_ids + 1] - indptr[item_ids])
 
-    widths = _choose_widths(degrees, min_width, max_bucket_width)
+    widths = _choose_widths(degrees, min_width, max_bucket_width, growth)
     # per item: smallest width >= degree; degree > max width -> last bucket
     # (row-split there)
     which = np.searchsorted(np.asarray(widths), degrees, side="left")
