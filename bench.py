@@ -40,7 +40,11 @@ def main() -> None:
     sampler = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
     sampler.setup()
 
-    # warmup: same chunk size as the timed run so exactly one compile
+    # warmup twice: first call compiles, second recompiles once for the
+    # donated-buffer layouts XLA chose for the outputs; third call on is
+    # steady state
+    metrics = sampler.run_chunk(iters)
+    jax.block_until_ready(metrics)
     metrics = sampler.run_chunk(iters)
     jax.block_until_ready(metrics)
 

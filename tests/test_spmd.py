@@ -65,6 +65,36 @@ def test_no_balance_assignment(data):
     np.testing.assert_allclose(u_bal, u_blk, rtol=2e-3, atol=2e-3)
 
 
+def test_dense_matches_bucketed(data):
+    """The dense-adjacency Gram (two MXU matmuls) and the degree-bucketed
+    gather Gram produce the same trajectory — same math, same noise keying
+    (partition.build_dense_layout)."""
+    train, test = data
+    rd, ud, vd = _run(train, test, n_devices=8, gram_impl="dense")
+    rb, ub, vb = _run(train, test, n_devices=8, gram_impl="bucketed")
+    assert abs(rd - rb) < 1e-4
+    np.testing.assert_allclose(ud, ub, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(vd, vb, rtol=2e-3, atol=2e-3)
+
+
+def test_dense_auto_selection(data):
+    """Tiny problems auto-select dense; a tiny dense budget forces bucketed."""
+    train, test = data
+    import os as _os
+    from bpmf_tpu.config import Config
+    from bpmf_tpu.sampler import BPMF
+
+    s1 = BPMF(Config(num_latent=4, nsims=1), train=train, test=test,
+              out=open(os.devnull, "w"))
+    s1.setup()
+    assert s1.movies.impl == "dense" and s1.users.impl == "dense"
+
+    s2 = BPMF(Config(num_latent=4, nsims=1, dense_limit_bytes=16),
+              train=train, test=test, out=open(os.devnull, "w"))
+    s2.setup()
+    assert s2.movies.impl == "bucketed" and s2.users.impl == "bucketed"
+
+
 def test_reduce_mode_single_device(data):
     train, test = data
     rg, ug, _ = _run(train, test, n_devices=1, comm_mode="gather")
