@@ -59,13 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-phase counters (ENABLE_PROFILING analog)")
     p.add_argument("--diagonal-only", action="store_true",
                    help="diagonal precision only (ONLY_VARIANCE analog)")
-    p.add_argument("--pallas", choices=["auto", "always", "never"], default="auto")
     p.add_argument("--chunk", type=int, default=1, metavar="N",
                    help="iterations per device dispatch (lax.scan); 1 matches "
                         "the reference's per-iteration cadence, larger values "
                         "amortize host latency for production runs")
-    p.add_argument("--solver", choices=["auto", "xla", "unrolled"], default="auto",
-                   help="batched Cholesky backend")
+    p.add_argument("--solver", default="auto",
+                   choices=["auto", "xla", "vpu", "pallas", "unrolled"],
+                   help="batched Cholesky+solve backend (auto: vpu on TPU)")
     p.add_argument("--checkpoint", default="", metavar="FILE",
                    help="save full sampler state to FILE (.npz); with "
                         "--checkpoint-freq N also every N iterations "
@@ -97,7 +97,6 @@ def config_from_args(args) -> Config:
         n_devices=args.devices,
         diagonal_only=args.diagonal_only,
         profile=args.profile,
-        use_pallas=args.pallas,
         chunk=args.chunk,
         solver=args.solver,
         checkpoint_path=args.checkpoint,

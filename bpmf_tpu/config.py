@@ -44,8 +44,8 @@ class Config:
     n_devices: int = 0            # 0 = all available
     diagonal_only: bool = False   # BPMF_NO_COVARIANCE (c++/sample.cpp:300-304)
     profile: bool = False         # ENABLE_PROFILING analog
-    use_pallas: str = "auto"      # 'auto' | 'always' | 'never' for the hot kernel
-    solver: str = "auto"          # batched Cholesky+solve: 'auto'|'xla'|'unrolled'
+    solver: str = "auto"          # batched Cholesky+solve backend:
+                                  # 'auto'|'xla'|'vpu'|'pallas'|'unrolled'
     chunk: int = 1                # Gibbs iterations per device dispatch
     checkpoint_path: str = ""     # save full sampler state here (.npz)
     checkpoint_freq: int = 0      # also save every N iterations (0 = end only)
@@ -66,7 +66,7 @@ class Config:
             raise ValueError(f"bad dtype {self.dtype!r}")
         if self.num_latent < 1:
             raise ValueError("num_latent must be >= 1")
-        if self.solver not in ("auto", "xla", "unrolled", "vpu"):
+        if self.solver not in ("auto", "xla", "unrolled", "vpu", "pallas"):
             raise ValueError(f"bad solver {self.solver!r}")
         if self.gram_impl not in ("auto", "dense", "bucketed"):
             raise ValueError(f"bad gram_impl {self.gram_impl!r}")

@@ -31,6 +31,10 @@ def get_solver(name: str):
     """Resolve a Config.solver name to the solve function."""
     from bpmf_tpu.ops.update import chol_solve_sample
 
+    if name == "pallas":
+        from bpmf_tpu.ops.pallas_solve import chol_solve_sample_pallas
+
+        return chol_solve_sample_pallas
     return {
         "xla": chol_solve_sample,
         "unrolled": chol_solve_sample_unrolled,
