@@ -32,9 +32,9 @@ def get_solver(name: str):
     from bpmf_tpu.ops.update import chol_solve_sample
 
     if name == "pallas":
-        from bpmf_tpu.ops.pallas_solve import chol_solve_sample_pallas
+        from bpmf_tpu.ops.pallas_solve import chol_solve_sample_pallas_blast
 
-        return chol_solve_sample_pallas
+        return chol_solve_sample_pallas_blast
     return {
         "xla": chol_solve_sample,
         "unrolled": chol_solve_sample_unrolled,

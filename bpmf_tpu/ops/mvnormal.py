@@ -115,7 +115,13 @@ def cond_normal_wishart(
     kappa_c = kappa + n_f
     kappa_m = kappa * n_f / (kappa + n_f)
     x = t + n_f * s + kappa_m * jnp.outer(mu_m, mu_m)
-    t_c = jnp.linalg.inv(x)
+    # SPD inverse via Cholesky (jnp.linalg.inv's LU/custom_linear_solve
+    # path trips an MLIR lowering-cache bug when combined with Pallas calls
+    # in one program, and the Cholesky route is cheaper anyway)
+    lx = jnp.linalg.cholesky(x)
+    eye = jnp.eye(x.shape[-1], dtype=dtype)
+    inv_l = jax.scipy.linalg.solve_triangular(lx, eye, lower=True)
+    t_c = inv_l.T @ inv_l
     nu_c = nu + n_f
     return normal_wishart(key, mu_c, kappa_c, t_c, nu_c)
 

@@ -16,12 +16,14 @@ The loop body is plain jnp on values (VPU ops); K is static so everything
 unrolls.  Numerically identical to the other solvers (tested to f32
 tolerance, including in interpret mode on CPU).
 
-MEASURED (v5e, ml-1m dense sweep, K=32): this kernel is currently ~6x
-SLOWER than the pure-XLA 'vpu' formulation (30.3 vs 4.7 ms/iter) — Mosaic
-pads the K=32 minor dimension to 128 lanes and the unrolled back
-substitution's column re-stacking is expensive, while XLA fuses the vpu
-loop chain extremely well.  Kept as Config.solver='pallas' for future
-layout tuning ([B, K*K]-flat tiles, fori_loop body), not as the default.
+MEASURED (v5e, dense sweep, K=32): the batch-FIRST kernel layout
+(chol_solve_sample_pallas) is ~6x slower than pure XLA — Mosaic pads the
+K=32 minor dim to 128 lanes.  The batch-LAST variant
+(chol_solve_sample_pallas_blast, the Config.solver='pallas' default on
+TPU) puts the batch on the lane dimension instead and wins at every
+scale: ml-1m 4.2 ms/iter (vs 4.7 vpu / 39.4 xla), chembl-scale [168k]
+batches 17 ms/iter (vs 134 vpu) — ~8x on large batches because the
+working set stays VMEM-resident through all K downdates.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["chol_solve_sample_pallas"]
+__all__ = ["chol_solve_sample_pallas", "chol_solve_sample_pallas_blast"]
 
 _BLOCK = 256  # items per grid step: 256*32*32*4 = 1 MB tile in VMEM at K=32
 
@@ -78,7 +80,88 @@ def _kernel_entry(prec_ref, rhs_ref, noise_ref, out_ref, *, k: int):
     out_ref_[:] = x.astype(out_ref_.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel_blast(prec_ref, rhs_ref, noise_ref, out_ref, *, k: int):
+    """Batch-LAST layout kernel: tiles are [K, K, B] / [K, B] so the batch
+    rides the 128-lane dimension and every step is a full-width VPU op;
+    column/row extraction is a sublane slice.  All K downdates and both
+    substitutions happen on one VMEM-resident tile."""
+    a = prec_ref[:].astype(jnp.float32)      # [K, K, B]
+    y = rhs_ref[:].astype(jnp.float32)       # [K, B]
+    noise = noise_ref[:].astype(jnp.float32)
+
+    # Cholesky (right-looking): cols[j] = L[:, j] as a [K, B] slab
+    cols = []
+    for j in range(k):
+        d = jax.lax.rsqrt(a[j, j, :])                    # [B]
+        col = a[:, j, :] * d[None, :]                    # [K, B]
+        if j > 0:
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) >= j)
+            col = jnp.where(mask, col, 0.0)
+        cols.append(col)
+        a = a - col[:, None, :] * col[None, :, :]        # [K, K, B]
+
+    # forward substitution y = L \ rhs (set-row expressed as masked where:
+    # .at[].set lowers to scatter, unsupported in Pallas TPU)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    for j in range(k):
+        yj = y[j, :] / cols[j][j, :]                     # [B]
+        y = jnp.where(rows > j, y - cols[j] * yj[None, :], y)
+        y = jnp.where(rows == j, yj[None, :], y)
+
+    y = y + noise
+
+    # back substitution u = L' \ y; row j of L = stack of cols[m][j]
+    for j in range(k - 1, -1, -1):
+        xj = y[j, :] / cols[j][j, :]                     # [B]
+        # subtract L[j, m] * xj for m < j: L[j, m] = cols[m][j, :]
+        lrow = jnp.concatenate(
+            [cols[m][j : j + 1, :] for m in range(k)], axis=0
+        )                                                # [K, B]
+        y = jnp.where(rows < j, y - lrow * xj[None, :], y)
+        y = jnp.where(rows == j, xj[None, :], y)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def chol_solve_sample_pallas_blast(
+    precision: jax.Array,  # [B, K, K]
+    rhs: jax.Array,        # [B, K]
+    noise: jax.Array,      # [B, K]
+    interpret: bool = False,
+) -> jax.Array:
+    """Batch-last fused solver: transposes to [K, K, B] tiles so the VPU
+    lane dimension is the batch (see _kernel_blast)."""
+    b, k, _ = precision.shape
+    block = 512
+    bp = ((b + block - 1) // block) * block
+    if bp != b:
+        # pad with identity systems (Cholesky stays valid); sliced off below
+        pad = bp - b
+        eye = jnp.broadcast_to(jnp.eye(k, dtype=precision.dtype), (pad, k, k))
+        precision = jnp.concatenate([precision, eye])
+        rhs = jnp.concatenate([rhs, jnp.zeros((pad, k), rhs.dtype)])
+        noise = jnp.concatenate([noise, jnp.zeros((pad, k), noise.dtype)])
+    prec_t = jnp.transpose(precision, (1, 2, 0))  # [K, K, Bp]
+    rhs_t = rhs.T                                  # [K, Bp]
+    noise_t = noise.T
+    out = pl.pallas_call(
+        functools.partial(_kernel_blast, k=k),
+        out_shape=jax.ShapeDtypeStruct((k, bp), precision.dtype),
+        grid=(bp // block,),
+        in_specs=[
+            pl.BlockSpec((k, k, block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(prec_t, rhs_t, noise_t)
+    return out.T[:b]
+
+
 def chol_solve_sample_pallas(
     precision: jax.Array,  # [B, K, K]
     rhs: jax.Array,        # [B, K]
