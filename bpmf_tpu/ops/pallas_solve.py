@@ -131,7 +131,12 @@ def chol_solve_sample_pallas_blast(
     """Batch-last fused solver: transposes to [K, K, B] tiles so the VPU
     lane dimension is the batch (see _kernel_blast)."""
     b, k, _ = precision.shape
+    # keep the [K, K, BLOCK] working tile (x2 for double buffering) well
+    # under VMEM: 512 lanes at K<=45, 256 at K<=64, 128 beyond
+    budget = 2 * 1024 * 1024  # bytes for the precision tile
     block = 512
+    while block > 128 and k * k * block * 4 > budget:
+        block //= 2
     bp = ((b + block - 1) // block) * block
     if bp != b:
         # pad with identity systems (Cholesky stays valid); sliced off below
