@@ -131,12 +131,20 @@ def chol_solve_sample_pallas_blast(
     """Batch-last fused solver: transposes to [K, K, B] tiles so the VPU
     lane dimension is the batch (see _kernel_blast)."""
     b, k, _ = precision.shape
-    # keep the [K, K, BLOCK] working tile (x2 for double buffering) well
-    # under VMEM: 512 lanes at K<=45, 256 at K<=64, 128 beyond
-    budget = 2 * 1024 * 1024  # bytes for the precision tile
-    block = 512
-    while block > 128 and k * k * block * 4 > budget:
-        block //= 2
+    # The kernel keeps ~3 live [K, K, BLOCK] f32 slabs in VMEM (input tile,
+    # downdated working copy, the K stored L-columns).  Pick the largest
+    # lane block that stays under ~12 MB of the 16 MB VMEM; if K is too
+    # large for any block (K >= ~90), fall back to the pure-XLA solver.
+    budget = 12 * 1024 * 1024
+    block = 0
+    for cand in (512, 256, 128):
+        if 3 * k * k * cand * 4 <= budget:
+            block = cand
+            break
+    if block == 0:
+        from bpmf_tpu.ops.cholsolve import chol_solve_sample_vpu
+
+        return chol_solve_sample_vpu(precision, rhs, noise)
     bp = ((b + block - 1) // block) * block
     if bp != b:
         # pad with identity systems (Cholesky stays valid); sliced off below

@@ -265,12 +265,13 @@ class BPMF:
 
         self._shard = shard
         aggregate = bool(cfg.output_dir)
-        self.movies_gdata, self.movies_rdata = self.movies.device_data(
-            dtype, shard, cfg.num_latent, self.mode
-        )
-        self.users_gdata, self.users_rdata = self.users.device_data(
-            dtype, shard, cfg.num_latent, self.mode
-        )
+        with self.counters.scope("upload"):
+            self.movies_gdata, self.movies_rdata = self.movies.device_data(
+                dtype, shard, cfg.num_latent, self.mode
+            )
+            self.users_gdata, self.users_rdata = self.users.device_data(
+                dtype, shard, cfg.num_latent, self.mode
+            )
 
         # per-side auxiliary maps (reduce + dense paths)
         self._aux = {}
@@ -601,7 +602,8 @@ class BPMF:
 
             checkpoint.save(cfg.checkpoint_path, self)
         if cfg.output_dir:
-            self.write_output()
+            with self.counters.scope("output"):
+                self.write_output()
 
         niter = max(self.iter + 1, 1)
         self._log(f"Total time: {elapsed:.6g}")
