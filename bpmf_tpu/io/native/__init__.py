@@ -61,6 +61,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), u64p, u64p, u64p,
         u32pp, u32pp, f64pp, f64pp,
     ]
+    lib.bpmf_fill_bucket.restype = ctypes.c_int64
+    lib.bpmf_fill_bucket.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
     return lib
 
 
@@ -163,6 +171,27 @@ def write_dense_bin(path: str, gz: bool, x: np.ndarray):
     )
     if rc != 0:
         raise IOError(lib.bpmf_last_error().decode())
+
+
+def fill_bucket(indptr, indices, data, ids, width, nbr, val, mask, row_slot):
+    """Fill one degree bucket's padded arrays in native code; returns the
+    number of rows written (see bpmf_fill_bucket in matrix_io.cpp)."""
+    lib = get_lib()
+    assert lib is not None
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    rows = lib.bpmf_fill_bucket(
+        ptr(indptr, ctypes.c_int64), ptr(indices, ctypes.c_int32),
+        ptr(data, ctypes.c_double), ptr(ids, ctypes.c_int32),
+        len(ids), width, ptr(nbr, ctypes.c_int32),
+        ptr(val, ctypes.c_double), ptr(mask, ctypes.c_float),
+        ptr(row_slot, ctypes.c_int32), nbr.shape[0],
+    )
+    if rows < 0:
+        raise ValueError("bucket row capacity overflow")
+    return rows
 
 
 def read_mtx(path: str):

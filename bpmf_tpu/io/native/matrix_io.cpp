@@ -238,4 +238,43 @@ int bpmf_read_mtx(const char* path, int* kind, uint64_t* nrow, uint64_t* ncol,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Layout builder: degree-bucket fill (the data-layout "graph builder")
+// ---------------------------------------------------------------------------
+
+// Fill one degree bucket's padded arrays from CSC ratings in a single pass.
+// For each item id (a CSC column), its neighbor list is split into rows of
+// at most `width` entries (row-splitting for degrees beyond the bucket
+// width, bpmf_tpu/sparse.py).  Arrays must be zero-initialized by the
+// caller with capacity `cap_rows` rows; row_slot prefilled with the padding
+// slot.  Returns the number of rows written, or -1 on overflow.
+int64_t bpmf_fill_bucket(const int64_t* indptr, const int32_t* indices,
+                         const double* data, const int32_t* ids,
+                         int64_t n_ids, int64_t width, int32_t* nbr,
+                         double* val, float* mask, int32_t* row_slot,
+                         int64_t cap_rows) {
+  int64_t r = 0;
+  for (int64_t s = 0; s < n_ids; ++s) {
+    const int64_t a = indptr[ids[s]];
+    const int64_t b = indptr[ids[s] + 1];
+    int64_t off = a;
+    do {
+      if (r >= cap_rows) return -1;
+      const int64_t n = std::min(b - off, width);
+      int32_t* nrow = nbr + r * width;
+      double* vrow = val + r * width;
+      float* mrow = mask + r * width;
+      for (int64_t w = 0; w < n; ++w) {
+        nrow[w] = indices[off + w];
+        vrow[w] = data ? data[off + w] : 1.0;
+        mrow[w] = 1.0f;
+      }
+      row_slot[r] = static_cast<int32_t>(s);
+      ++r;
+      off += width;
+    } while (off < b);
+  }
+  return r;
+}
+
 }  // extern "C"

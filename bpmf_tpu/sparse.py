@@ -141,52 +141,63 @@ def bucketize(
     buckets: list[Bucket] = []
     total_nnz = 0
 
+    indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices32 = np.ascontiguousarray(indices, dtype=np.int32)
+    data64 = np.ascontiguousarray(data, dtype=np.float64)
+    try:
+        from bpmf_tpu.io import native
+
+        fill_native = native.get_lib() is not None
+    except Exception:
+        fill_native = False
+
     for wi, w in enumerate(widths):
-        ids = item_ids[which == wi]
+        in_b = which == wi
+        ids = item_ids[in_b]
         if ids.size == 0 and wi > 0:
             continue
+        degs_b = degrees[in_b]
+        total_nnz += int(degs_b.sum())
+        rows_needed = int(np.maximum(1, -(-degs_b // w)).sum()) if ids.size else 0
+        n_real_slots = max(len(ids), 1)
 
-        rows_nbr: list[np.ndarray] = []
-        rows_val: list[np.ndarray] = []
-        rows_len: list[int] = []
-        row_slot: list[int] = []
-        slot_ids: list[int] = []
-
-        for gid in ids:
-            s, e = indptr[gid], indptr[gid + 1]
-            slot = len(slot_ids)
-            slot_ids.append(int(gid))
-            total_nnz += e - s
-            # row-split item neighbor lists wider than the bucket width
-            for off in range(0, max(e - s, 1), w):
-                a = s + off
-                b = min(s + off + w, e)
-                rows_nbr.append(indices[a:b])
-                rows_val.append(data[a:b])
-                rows_len.append(b - a)
-                row_slot.append(slot)
-
-        n_slots = pad_count(max(len(slot_ids), 1), row_pad)
-        n_rows = pad_count(max(len(rows_nbr), 1), row_pad)
-        split = len(rows_nbr) != len(slot_ids)
+        n_slots = pad_count(n_real_slots, row_pad)
+        n_rows = pad_count(max(rows_needed, 1), row_pad)
+        split = rows_needed != len(ids)
 
         nbr = np.zeros((n_rows, w), dtype=np.int32)
         val = np.zeros((n_rows, w), dtype=np.float64)
         mask = np.zeros((n_rows, w), dtype=np.float32)
-        rslot = np.full((n_rows,), n_slots - 1, dtype=np.int32)
-        for r, (nb, va, ln) in enumerate(zip(rows_nbr, rows_val, rows_len)):
-            nbr[r, :ln] = nb
-            val[r, :ln] = va
-            mask[r, :ln] = 1.0
-            rslot[r] = row_slot[r]
         # padding rows must target a padding slot so they never pollute a
-        # real item's statistics; the last slot is real only if there is no
-        # padding slot, in which case padding rows are all-masked anyway
-        # (their Gram/rhs partials are exactly zero).
+        # real item's statistics; when there is no padding slot the padding
+        # rows are all-masked anyway (their Gram/rhs partials are zero).
+        rslot = np.full((n_rows,), n_slots - 1, dtype=np.int32)
+
+        if fill_native and ids.size:
+            native.fill_bucket(
+                indptr64, indices32, data64,
+                np.ascontiguousarray(ids, np.int32), w,
+                nbr, val, mask, rslot,
+            )
+        else:
+            r = 0
+            for slot, gid in enumerate(ids):
+                s, e = indptr[gid], indptr[gid + 1]
+                # row-split neighbor lists wider than the bucket width
+                for off in range(0, max(e - s, 1), w):
+                    a = s + off
+                    b = min(s + off + w, e)
+                    ln = b - a
+                    nbr[r, :ln] = indices[a:b]
+                    val[r, :ln] = data[a:b]
+                    mask[r, :ln] = 1.0
+                    rslot[r] = slot
+                    r += 1
+
         ids_arr = np.full((n_slots,), scratch_id, dtype=np.int32)
-        ids_arr[: len(slot_ids)] = slot_ids
+        ids_arr[: len(ids)] = ids
         valid = np.zeros((n_slots,), dtype=np.float32)
-        valid[: len(slot_ids)] = 1.0
+        valid[: len(ids)] = 1.0
 
         buckets.append(
             Bucket(
