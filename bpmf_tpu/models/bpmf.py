@@ -19,15 +19,13 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from bpmf_tpu.ops.cholsolve import chol_solve_sample_unrolled, get_solver
+from bpmf_tpu.ops.cholsolve import get_solver
 from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
 from bpmf_tpu.ops.update import (
     BucketDev,
-    chol_solve_sample,
     gram_rhs,
     item_noise,
     posterior_precision_rhs,
-    sample_bucket,
 )
 
 

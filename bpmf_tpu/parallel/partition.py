@@ -32,7 +32,7 @@ import dataclasses
 import numpy as np
 import scipy.sparse as sp
 
-from bpmf_tpu.sparse import Bucket, BucketedSide, bucketize, pad_count
+from bpmf_tpu.sparse import Bucket, bucketize, pad_count
 
 __all__ = ["assign_items", "GatherLayout", "ReduceLayout", "stack_buckets"]
 

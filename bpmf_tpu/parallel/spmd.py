@@ -28,35 +28,22 @@ to float reduction order.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from bpmf_tpu.models.bpmf import (
-    EvalData,
-    EvalState,
-    Metrics,
-    SideData,
-    SideState,
-    predict,
-    sweep_core,
-)
-from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
-from bpmf_tpu.ops.cholsolve import chol_solve_sample_unrolled, get_solver
+from bpmf_tpu.models.bpmf import SideData, SideState, sweep_core
+from bpmf_tpu.ops.mvnormal import sample_hyper
+from bpmf_tpu.ops.cholsolve import get_solver
 from bpmf_tpu.ops.update import (
     BucketDev,
-    chol_solve_sample,
     gram_rhs,
     item_noise,
     posterior_precision_rhs,
 )
-from bpmf_tpu.parallel.partition import GatherLayout, ReduceLayout, SideMaps
 
 AXIS = "i"
 
