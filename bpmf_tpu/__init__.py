@@ -22,3 +22,16 @@ __version__ = "0.1.0"
 
 from bpmf_tpu.io import read_matrix, write_matrix  # noqa: F401
 from bpmf_tpu.config import Config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: importing the sampler initializes jax
+    if name == "BPMF":
+        from bpmf_tpu.sampler import BPMF
+
+        return BPMF
+    if name in ("synth_movielens", "synth_chembl"):
+        from bpmf_tpu import datasets
+
+        return getattr(datasets, name)
+    raise AttributeError(name)
