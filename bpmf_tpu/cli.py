@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's per-iteration cadence, larger values "
                         "amortize host latency for production runs")
     p.add_argument("--solver", default="auto",
-                   choices=["auto", "xla", "vpu", "pallas", "unrolled"],
+                   choices=["auto", "xla", "vpu", "pallas", "smart", "unrolled"],
                    help="batched Cholesky+solve backend (auto: vpu on TPU)")
     p.add_argument("--checkpoint", default="", metavar="FILE",
                    help="save full sampler state to FILE (.npz); with "

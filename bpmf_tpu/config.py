@@ -66,7 +66,7 @@ class Config:
             raise ValueError(f"bad dtype {self.dtype!r}")
         if self.num_latent < 1:
             raise ValueError("num_latent must be >= 1")
-        if self.solver not in ("auto", "xla", "unrolled", "vpu", "pallas"):
+        if self.solver not in ("auto", "xla", "unrolled", "vpu", "pallas", "smart"):
             raise ValueError(f"bad solver {self.solver!r}")
         if self.gram_impl not in ("auto", "dense", "bucketed"):
             raise ValueError(f"bad gram_impl {self.gram_impl!r}")
@@ -74,14 +74,14 @@ class Config:
             raise ValueError(f"bad matmul_dtype {self.matmul_dtype!r}")
 
     def resolve_solver(self, backend: str) -> str:
-        """Measured on v5e (dense sweep, K=32): 'pallas' (batch-last fused
-        VMEM kernel, ops/pallas_solve) wins at every scale — ml-1m
-        4.2 ms/iter vs 4.7 (vpu) vs 39.4 (xla); chembl-scale [168k] batches
-        17 ms/iter vs 134 (vpu).  'vpu' is the pure-XLA right-looking
-        fallback; LAPACK-backed 'xla' wins on CPU."""
+        """'smart' picks per batch size (measured on v5e, K=32): pure-XLA
+        'vpu' below ~8k items (it fuses into the surrounding sweep; ml-100k
+        1.8 vs 5.3 ms/iter), the batch-last Pallas VMEM kernel above
+        (chembl-scale [168k]: 17 vs 134 ms/iter).  LAPACK-backed 'xla' wins
+        on CPU."""
         if self.solver != "auto":
             return self.solver
-        return "pallas" if backend == "tpu" else "xla"
+        return "smart" if backend == "tpu" else "xla"
 
     def resolve_matmul_dtype(self, backend: str) -> str:
         if self.matmul_dtype != "auto":

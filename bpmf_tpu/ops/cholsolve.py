@@ -27,6 +27,21 @@ __all__ = [
 ]
 
 
+def chol_solve_sample_smart(precision, rhs, noise):
+    """The production policy on TPU: the VMEM-resident batch-last Pallas
+    kernel whenever K fits its tiles (K <= ~116); the pure-XLA 'vpu' chain
+    beyond.  Measured on v5e: the kernel wins decisively on large batches
+    (chembl-scale [168k, 32, 32]: 17 vs 134 ms/iter) and is comparable or
+    better at small ones (single-digit-ms differences within the session
+    noise of this runtime)."""
+    b, k, _ = precision.shape
+    if 2 * k * k * 128 * 4 <= 11 * 1024 * 1024:
+        from bpmf_tpu.ops.pallas_solve import chol_solve_sample_pallas_blast
+
+        return chol_solve_sample_pallas_blast(precision, rhs, noise)
+    return chol_solve_sample_vpu(precision, rhs, noise)
+
+
 def get_solver(name: str):
     """Resolve a Config.solver name to the solve function."""
     from bpmf_tpu.ops.update import chol_solve_sample
@@ -39,6 +54,7 @@ def get_solver(name: str):
         "xla": chol_solve_sample,
         "unrolled": chol_solve_sample_unrolled,
         "vpu": chol_solve_sample_vpu,
+        "smart": chol_solve_sample_smart,
     }[name]
 
 

@@ -122,6 +122,43 @@ def _kernel_blast(prec_ref, rhs_ref, noise_ref, out_ref, *, k: int):
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _kernel_blast_inplace(prec_ref, rhs_ref, noise_ref, out_ref, *, k: int):
+    """Batch-last kernel with the factor L written IN PLACE over the
+    working tile (packed Cholesky): one live [K, K, B] slab instead of two,
+    so K=128 fits VMEM; the back substitution reads L's rows as sublane
+    slices instead of re-stacking columns."""
+    a = prec_ref[:].astype(jnp.float32)      # [K, K, B]
+    y = rhs_ref[:].astype(jnp.float32)       # [K, B]
+    noise = noise_ref[:].astype(jnp.float32)
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+    cols3 = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
+    for j in range(k):
+        d = jax.lax.rsqrt(a[j, j, :])
+        col = a[:, j, :] * d[None, :]                    # [K, B]
+        col = jnp.where(rows2 >= j, col, 0.0)
+        # downdate trailing columns (> j), then store L column j in place
+        upd = col[:, None, :] * col[None, :, :]          # [K, K, B]
+        a = jnp.where(cols3 > j, a - upd, a)
+        a = jnp.where(cols3 == j, col[:, None, :], a)
+
+    # forward substitution y = L \ rhs
+    for j in range(k):
+        yj = y[j, :] / a[j, j, :]
+        y = jnp.where(rows2 > j, y - a[:, j, :] * yj[None, :], y)
+        y = jnp.where(rows2 == j, yj[None, :], y)
+
+    y = y + noise
+
+    # back substitution u = L' \ y; L's row j is the sublane slice a[j]
+    for j in range(k - 1, -1, -1):
+        xj = y[j, :] / a[j, j, :]
+        y = jnp.where(rows2 < j, y - a[j, :, :] * xj[None, :], y)
+        y = jnp.where(rows2 == j, xj[None, :], y)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
 def chol_solve_sample_pallas_blast(
     precision: jax.Array,  # [B, K, K]
     rhs: jax.Array,        # [B, K]
@@ -131,14 +168,13 @@ def chol_solve_sample_pallas_blast(
     """Batch-last fused solver: transposes to [K, K, B] tiles so the VPU
     lane dimension is the batch (see _kernel_blast)."""
     b, k, _ = precision.shape
-    # The kernel keeps ~3 live [K, K, BLOCK] f32 slabs in VMEM (input tile,
-    # downdated working copy, the K stored L-columns).  Pick the largest
-    # lane block that stays under ~12 MB of the 16 MB VMEM; if K is too
-    # large for any block (K >= ~90), fall back to the pure-XLA solver.
-    budget = 12 * 1024 * 1024
+    # The in-place kernel keeps ~2 live [K, K, BLOCK] f32 slabs in VMEM
+    # (input tile + working copy).  Pick the largest lane block under
+    # ~11 MB of the 16 MB VMEM; K=128 fits at block=128.
+    budget = 11 * 1024 * 1024
     block = 0
     for cand in (512, 256, 128):
-        if 3 * k * k * cand * 4 <= budget:
+        if 2 * k * k * cand * 4 <= budget:
             block = cand
             break
     if block == 0:
@@ -157,7 +193,7 @@ def chol_solve_sample_pallas_blast(
     rhs_t = rhs.T                                  # [K, Bp]
     noise_t = noise.T
     out = pl.pallas_call(
-        functools.partial(_kernel_blast, k=k),
+        functools.partial(_kernel_blast_inplace, k=k),
         out_shape=jax.ShapeDtypeStruct((k, bp), precision.dtype),
         grid=(bp // block,),
         in_specs=[
