@@ -545,6 +545,14 @@ class BPMF:
                         for j in range(n)
                     ]
             stop = tick()
+            if not np.isfinite(float(stacked[-1].rmse)):
+                # the reference aborts on Cholesky failure
+                # (c++/sample.cpp:308); a non-PD posterior or overflow
+                # surfaces here as a non-finite RMSE
+                raise FloatingPointError(
+                    f"non-finite RMSE at iteration {done + n - 1} — "
+                    "Cholesky failure or numerical overflow"
+                )
             per_iter = (stop - start) / n
             items_per_sec = num_items / per_iter
             ratings_per_sec = nnz / per_iter

@@ -141,3 +141,25 @@ def test_dtype_float64():
     s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
     rmse = s.run()
     assert np.isfinite(rmse)
+
+
+def test_nan_guard(tmp_path):
+    """Non-finite RMSE aborts loudly (the reference aborts on Cholesky
+    failure, c++/sample.cpp:308).  A singular propagated Lambda (inverse of
+    a rank-deficient sample covariance) triggers it at iteration 0."""
+    import scipy.sparse as sp
+    from bpmf_tpu.io import write_matrix
+
+    train, test = make_ratings(n_users=20, n_movies=12, density=0.5)
+    k, num_u, num_v = 6, 20, 12
+    bad_lambda = np.full((k * k, num_u), np.inf)
+    mu = np.zeros((k, num_u))
+    write_matrix(str(tmp_path / "mu.ddm"), mu)
+    write_matrix(str(tmp_path / "lam.ddm"), bad_lambda)
+    cfg = Config(
+        num_latent=k, nsims=3, burnin=0,
+        prop_u=f"{tmp_path}/mu.ddm,{tmp_path}/lam.ddm",
+    )
+    s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        s.run()
