@@ -24,7 +24,7 @@ import scipy.sparse as sp
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from bpmf_tpu.config import Config
 from bpmf_tpu.io import read_matrix, write_matrix
@@ -39,6 +39,7 @@ from bpmf_tpu.models.bpmf import (
 from bpmf_tpu.ops.mvnormal import HyperParams
 from bpmf_tpu.ops.update import BucketDev
 from bpmf_tpu.parallel import partition as part
+from bpmf_tpu.parallel.mesh import make_mesh
 from bpmf_tpu.parallel.spmd import (
     AXIS,
     dense_half_sweep,
@@ -220,7 +221,7 @@ class BPMF:
         self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         dtype = self.dtype
 
-        self.mesh = Mesh(np.array(jax.devices()[: self.n_devices]), (AXIS,))
+        self.mesh = make_mesh(self.n_devices)
 
         # per-side Gram implementation: dense adjacency (two MXU matmuls,
         # zero gathers — see partition.build_dense_layout) while the dense
