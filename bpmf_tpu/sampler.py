@@ -468,6 +468,19 @@ class BPMF:
         self._log(f"burnin: {cfg.burnin}")
         self._log(f"alpha: {cfg.alpha}")
         self._log(f"update_freq: {cfg.update_freq}")
+        if self.n_devices > 1:
+            # assignment unbalance stats (Sys::assign prints the same idea,
+            # c++/assign.cpp:140-173)
+            for side in (self.movies, self.users):
+                work = np.array([
+                    (10 + side.degrees[ids]).sum()
+                    for ids in side.maps.ids_per_dev
+                ])
+                self._log(
+                    f"assign {side.name}: work/device min {work.min()} "
+                    f"max {work.max()} unbalance "
+                    f"{work.max() / max(work.mean(), 1):.3f}"
+                )
         for side in (self.movies, self.users):
             if side.impl == "dense":
                 d, lp, opn = side.dense.shape
