@@ -190,6 +190,7 @@ def build_gather_layout(
     maps: SideMaps,
     other_orig_to_padded: np.ndarray,
     max_bucket_width: int = 4096,
+    growth: int = 4,
 ) -> GatherLayout:
     """m_csc: [num_other, num] ratings with this side's items as columns.
     Neighbor (row) indices are remapped into the other side's padded global
@@ -203,7 +204,8 @@ def build_gather_layout(
     per_dev: list[list[Bucket]] = []
     for d, ids in enumerate(ids_per_dev):
         side = bucketize(
-            m_csc, ids, scratch_id=-1, max_bucket_width=max_bucket_width
+            m_csc, ids, scratch_id=-1, max_bucket_width=max_bucket_width,
+            growth=growth,
         )
         local_index = np.zeros((num + 1,), np.int32)
         local_index[ids] = np.arange(len(ids))
@@ -281,6 +283,7 @@ def build_reduce_layout(
     this_padded_num: int,
     other_ids_per_dev: list[np.ndarray],
     max_bucket_width: int = 4096,
+    growth: int = 4,
 ) -> ReduceLayout:
     """m_csc: [num_other, num_this]; rows are split by other-side ownership
     (preComputeMuLambda's local_only filter, c++/sample.cpp:248-258)."""
@@ -293,7 +296,8 @@ def build_reduce_layout(
         if len(cols) == 0:
             cols = np.asarray([0], np.int32)
         side = bucketize(
-            m_local, cols, scratch_id=-1, max_bucket_width=max_bucket_width
+            m_local, cols, scratch_id=-1, max_bucket_width=max_bucket_width,
+            growth=growth,
         )
         bs = []
         for b in side.buckets:

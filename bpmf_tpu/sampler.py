@@ -100,7 +100,7 @@ class Side:
             BucketDev(
                 nbr=shard(jnp.asarray(b.nbr), 3),
                 val=shard(jnp.asarray(b.val, dtype), 3),
-                mask=shard(jnp.asarray(b.mask, dtype), 3),
+                mask=shard(jnp.asarray(b.mask, jnp.int8), 3),
                 row_slot=shard(jnp.asarray(b.row_slot), 2),
                 item_ids=shard(jnp.asarray(b.item_ids), 2),
                 orig_ids=shard(jnp.asarray(b.orig_ids), 2),
@@ -252,12 +252,13 @@ class BPMF:
                     side.reduce = part.build_reduce_layout(
                         side.m, side.maps.orig_to_padded,
                         side.maps.padded_num, other.maps.ids_per_dev,
-                        cfg.max_bucket_width,
+                        cfg.max_bucket_width, cfg.bucket_growth,
                     )
                 else:
                     side.gather = part.build_gather_layout(
                         side.m, side.maps,
                         other.maps.orig_to_padded, cfg.max_bucket_width,
+                        cfg.bucket_growth,
                     )
 
         def shard(x, rank):
