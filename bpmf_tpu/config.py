@@ -51,9 +51,10 @@ class Config:
     checkpoint_freq: int = 0      # also save every N iterations (0 = end only)
     resume: str = ""              # resume from a checkpoint file
     max_bucket_width: int = 2048  # degree cap per bucket row (row-split above)
-    bucket_growth: int = 4        # geometric width growth (2 halves padding
-                                  # at the cost of ~2x bucket count; useful
-                                  # for HBM-tight huge-sparse runs)
+    bucket_growth: int = 2        # geometric bucket width growth; 2 halves
+                                  # padding (gather volume + HBM) vs 4 at
+                                  # ~2x the bucket count — the right trade
+                                  # in the bucketed (huge-sparse) regime
     gram_impl: str = "auto"       # 'auto' | 'dense' | 'bucketed' (per-side auto)
     matmul_dtype: str = "auto"    # MXU input dtype for the Gram matmuls:
                                   # 'auto' (bf16 on TPU, f32 elsewhere) |
