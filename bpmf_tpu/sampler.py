@@ -213,7 +213,12 @@ class BPMF:
         cache_dir = os.environ.get(
             "BPMF_XLA_CACHE", os.path.expanduser("~/.cache/bpmf_tpu_xla")
         )
-        if cache_dir and not jax.config.jax_compilation_cache_dir:
+        if (
+            cache_dir
+            and not jax.config.jax_compilation_cache_dir
+            and jax.default_backend() == "tpu"  # CPU AOT entries are
+            # machine-feature-specific and can SIGILL on another host
+        ):
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         if cfg.dtype == "float64":
