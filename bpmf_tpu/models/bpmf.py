@@ -116,6 +116,7 @@ def sweep_core(
     noise_scale: float = 1.0,
     solver: str = "unrolled",
     noise_num: Optional[int] = None,
+    gather_dtype=None,
 ):
     """Resample the items covered by ``data.buckets`` and accumulate
     (sum, prod, norm) and optional post-burnin aggregates.  Shared by the
@@ -135,7 +136,7 @@ def sweep_core(
         n_slots = bucket.item_ids.shape[0]
         g, r = gram_rhs(
             bucket, other_items, mean_rating, alpha,
-            split=splits[b], n_slots=n_slots,
+            split=splits[b], n_slots=n_slots, gather_dtype=gather_dtype,
         )
         grams.append(g)
         rhss.append(r)

@@ -61,6 +61,7 @@ def gram_rhs(
     *,
     split: bool,
     n_slots: int,
+    gather_dtype=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Accumulate per-slot Gram [S,K,K] and rhs [S,K] over rated neighbors.
 
@@ -71,6 +72,12 @@ def gram_rhs(
 
     r_rows, width = bucket.nbr.shape
     k = other_items.shape[-1]
+    dtype = other_items.dtype
+    if gather_dtype is not None and gather_dtype != dtype:
+        # gathering in bf16 halves the dominant HBM gather traffic; the
+        # Gram contraction runs at the same MXU precision either way and
+        # accumulates in the compute dtype (preferred_element_type)
+        other_items = other_items.astype(gather_dtype)
     ablate = os.environ.get("BPMF_ABLATE", "")  # perf-debug knob
     if ablate == "nogather":
         # skip the neighbor gather entirely (constant fake neighborhoods)

@@ -82,6 +82,7 @@ def gather_half_sweep(
     strict_reference: bool,
     noise_scale: float,
     solver: str = "unrolled",
+    matmul_dtype: str = "float32",
 ) -> SideState:
     """Value-exchange half-sweep (Sys::sample + bcast-family comm)."""
     dtype = other_items.dtype
@@ -119,6 +120,9 @@ def gather_half_sweep(
             noise_scale=noise_scale,
             solver=solver,
             noise_num=num,
+            gather_dtype=(
+                jnp.bfloat16 if matmul_dtype == "bfloat16" else None
+            ),
         )
         # reduce_sum_cov_norm (c++/mpi_common.h:44-50) as one fused psum
         s = lax.psum(s, AXIS)
@@ -333,6 +337,7 @@ def reduce_half_sweep(
     strict_reference: bool,
     noise_scale: float,
     solver: str = "unrolled",
+    matmul_dtype: str = "float32",
 ) -> SideState:
     """Statistic-exchange half-sweep (ENABLE_REDUCE family)."""
     dtype = other_items.dtype
@@ -356,7 +361,10 @@ def reduce_half_sweep(
             b = _take0(BucketDev(*buckets_flat[j * 7 : (j + 1) * 7]))
             n_slots = b.item_ids.shape[0]
             g, r = gram_rhs(
-                b, other_l, mean_rating, alpha, split=split, n_slots=n_slots
+                b, other_l, mean_rating, alpha, split=split, n_slots=n_slots,
+                gather_dtype=(
+                    jnp.bfloat16 if matmul_dtype == "bfloat16" else None
+                ),
             )
             gram_full = gram_full.at[b.item_ids].add(
                 g * b.slot_valid[:, None, None]

@@ -343,6 +343,7 @@ class BPMF:
             strict_reference=cfg.strict_reference,
             noise_scale=1.0,
             solver=self.solver,
+            matmul_dtype=self.matmul_dtype,
         )
 
         def sweep(state, gdata, rdata, dense, other_items, key, it, side: Side):
@@ -357,7 +358,6 @@ class BPMF:
                     local_orig=aux["local_orig"],
                     local_valid=aux["local_valid"],
                     mean_rating=mean_rating,
-                    matmul_dtype=self.matmul_dtype,
                     **kw,
                 )
             if mode == "reduce":
