@@ -131,3 +131,22 @@ def test_partition_balance():
 
     ids_blk = assign_items(degrees, 8, balance=False)
     assert sorted(np.concatenate(ids_blk).tolist()) == list(range(2000))
+
+
+def test_reduce_mode_with_prop_posterior(tmp_path, data):
+    """ENABLE_REDUCE + propagated posterior: the per-item prior branch in
+    the reduce half-sweep (prop arrays live in the padded shard layout)."""
+    train, test = data
+    out1 = str(tmp_path / "r1")
+    # need nsims - burnin > K samples or the propagated Lambda (inverse of
+    # the sample covariance) is singular — the NaN guard fires otherwise
+    _run(train, test, n_devices=8, output_dir=out1, nsims=16)
+    warm_kw = dict(
+        prop_u=f"{out1}/U-mu.ddm,{out1}/U-Lambda.ddm",
+        prop_v=f"{out1}/V-mu.ddm,{out1}/V-Lambda.ddm",
+        strict_reference=False,
+    )
+    rg, ug, _ = _run(train, test, n_devices=8, comm_mode="gather", **warm_kw)
+    rr, ur, _ = _run(train, test, n_devices=8, comm_mode="reduce", **warm_kw)
+    assert abs(rg - rr) < 1e-4
+    np.testing.assert_allclose(ug, ur, rtol=2e-3, atol=2e-3)
