@@ -19,7 +19,8 @@ from tests.conftest import make_ratings
 
 
 def _run(train, test, **kw):
-    cfg = Config(num_latent=6, nsims=8, burnin=3, **kw)
+    kw.setdefault("nsims", 8)
+    cfg = Config(num_latent=6, burnin=3, **kw)
     s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
     rmse = s.run()
     u = s.items_host(s.users, s.state_u)
