@@ -194,6 +194,22 @@ def bucketize(
                     rslot[r] = slot
                     r += 1
 
+        # sort real rows by first neighbor id: gathers then touch the
+        # neighbor table in roughly ascending order, which improves HBM
+        # locality of the dominant row-gather (~15% at ml-25M scale).
+        # Trajectory-invariant: the slot arrays are permuted along, so each
+        # item keeps its ratings and its id-keyed noise.  Non-split buckets
+        # only — the update kernel relies on row r == slot r there; split
+        # buckets' wide rows already have good intra-row locality.
+        ids = np.asarray(ids)
+        nreal = min(rows_needed, n_rows)
+        if not split and nreal > 1:
+            order = np.argsort(nbr[:nreal, 0], kind="stable")
+            nbr[:nreal] = nbr[order]
+            val[:nreal] = val[order]
+            mask[:nreal] = mask[order]
+            ids = ids[order]  # slot r still owns row r's ratings
+
         ids_arr = np.full((n_slots,), scratch_id, dtype=np.int32)
         ids_arr[: len(ids)] = ids
         valid = np.zeros((n_slots,), dtype=np.float32)
