@@ -32,7 +32,7 @@ def main() -> None:
     from bpmf_tpu.datasets import synth_movielens
     from bpmf_tpu.sampler import BPMF
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
     k = int(os.environ.get("BENCH_K", "32"))
 
     train, test = synth_movielens()
