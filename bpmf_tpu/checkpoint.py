@@ -27,6 +27,20 @@ from bpmf_tpu.ops.mvnormal import HyperParams
 FORMAT_VERSION = 1
 
 
+def dataset_hash(sampler) -> np.uint64:
+    """Content hash of (train, test) — binds a checkpoint to its dataset so
+    a resume against different data fails loudly instead of silently
+    producing a garbage trajectory."""
+    import zlib
+
+    h = 0
+    for m in (sampler.train, sampler.test):
+        for arr in (m.indptr, m.indices, m.data):
+            h = zlib.crc32(np.ascontiguousarray(arr).tobytes(), h)
+        h = zlib.crc32(np.asarray(m.shape, np.int64).tobytes(), h)
+    return np.uint64(h)
+
+
 def _side_to_host(side, state: SideState) -> dict:
     """Fetch one side's state in ORIGINAL item order."""
     idx = side.maps.orig_to_padded
@@ -54,6 +68,7 @@ def save(path: str, sampler) -> None:
         "num_latent": sampler.cfg.num_latent,
         "nsims": sampler.cfg.nsims,
         "burnin": sampler.cfg.burnin,
+        "dataset_hash": dataset_hash(sampler),
         "eval.pavg": np.asarray(sampler.est.pavg, np.float64),
         "eval.pm2": np.asarray(sampler.est.pm2, np.float64),
         "rmse": sampler.rmse,
@@ -118,6 +133,14 @@ def load(path: str, sampler) -> None:
         raise ValueError(
             f"checkpoint K={int(data['num_latent'])} != config K={sampler.cfg.num_latent}"
         )
+    if "dataset_hash" in data:
+        want = np.uint64(data["dataset_hash"])
+        have = dataset_hash(sampler)
+        if want != have:
+            raise ValueError(
+                f"checkpoint was written for a different dataset "
+                f"(hash {want:#x} != {have:#x}); refusing to resume"
+            )
     sampler.setup()
     aggregate = bool(sampler.cfg.output_dir)
     sampler.state_m = _side_from_host(sampler, sampler.movies, data, "movies", aggregate)

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-freq", type=int, default=0, metavar="N")
     p.add_argument("--resume", default="", metavar="FILE",
                    help="resume a run from a checkpoint file")
+    p.add_argument("--ablate", default="",
+                   choices=["", "nogather", "nogram", "nomatmul", "nosolve",
+                            "nopredict"],
+                   help="perf-debug: skip a sweep phase to isolate its cost")
     return p
 
 
@@ -102,6 +106,7 @@ def config_from_args(args) -> Config:
         checkpoint_path=args.checkpoint,
         checkpoint_freq=args.checkpoint_freq,
         resume=args.resume,
+        ablate=args.ablate,
     )
 
 

@@ -62,6 +62,9 @@ class Config:
                                   # always f32 (f64 under dtype=float64)
     dense_limit_bytes: int = 1 << 30  # dense-adjacency budget per side
     strict_reference: bool = True # keep reference quirks (see ops/update.py)
+    ablate: str = ""              # perf-debug: skip a sweep phase to isolate
+                                  # its cost: '' | 'nogather' | 'nogram' |
+                                  # 'nomatmul' | 'nosolve' | 'nopredict'
 
     def __post_init__(self):
         if self.comm_mode not in ("auto", "gather", "reduce"):
@@ -76,6 +79,10 @@ class Config:
             raise ValueError(f"bad gram_impl {self.gram_impl!r}")
         if self.matmul_dtype not in ("auto", "bfloat16", "float32"):
             raise ValueError(f"bad matmul_dtype {self.matmul_dtype!r}")
+        if self.ablate not in (
+            "", "nogather", "nogram", "nomatmul", "nosolve", "nopredict"
+        ):
+            raise ValueError(f"bad ablate {self.ablate!r}")
 
     def resolve_solver(self, backend: str) -> str:
         """'smart' picks per batch size (measured on v5e, K=32): pure-XLA

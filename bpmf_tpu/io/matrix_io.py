@@ -186,9 +186,8 @@ def _write_sdm(f, X: sp.spmatrix, pattern: bool) -> None:
     rows = coo.row[order].astype(np.uint32) + 1
     cols = coo.col[order].astype(np.uint32) + 1
     vals = coo.data[order].astype(np.float64)
-    if pattern:
-        keep = vals > 0
-        rows, cols = rows[keep], cols[keep]
+    # pattern (.sbm) writes every STORED entry's coordinates regardless of
+    # value (c++/io.cpp:655-682) — do not filter zero/negative values
     f.write(np.asarray([X.shape[0], X.shape[1], len(rows)], dtype=_U64).tobytes())
     f.write(rows.astype(_U32).tobytes())
     f.write(cols.astype(_U32).tobytes())
@@ -309,9 +308,8 @@ def _write_native(path: str, ext: str, gz: bool, X) -> bool:
             coo = X.tocoo()
             order = np.lexsort((coo.row, coo.col))  # column-major like Eigen
             rows, cols, vals = coo.row[order], coo.col[order], coo.data[order]
-            if ext == ".sbm":
-                keep = vals > 0
-                rows, cols, vals = rows[keep], cols[keep], vals[keep]
+            # .sbm writes every stored entry regardless of value
+            # (c++/io.cpp:655-682) — no filtering
             native.write_sparse_bin(
                 path, ext == ".sbm", gz, X.shape[0], X.shape[1],
                 rows, cols, vals,

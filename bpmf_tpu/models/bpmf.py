@@ -117,6 +117,7 @@ def sweep_core(
     solver: str = "unrolled",
     noise_num: Optional[int] = None,
     gather_dtype=None,
+    ablate: str = "",
 ):
     """Resample the items covered by ``data.buckets`` and accumulate
     (sum, prod, norm) and optional post-burnin aggregates.  Shared by the
@@ -137,6 +138,7 @@ def sweep_core(
         g, r = gram_rhs(
             bucket, other_items, mean_rating, alpha,
             split=splits[b], n_slots=n_slots, gather_dtype=gather_dtype,
+            ablate=ablate,
         )
         grams.append(g)
         rhss.append(r)
@@ -234,7 +236,7 @@ def half_sweep(
 
     # cov = (prod - sum sum' / N) / (N - 1) with global N
     # (c++/sample.cpp:379-384); exact across shards here.
-    n_f = jnp.asarray(num, dtype)
+    n_f = jnp.asarray(num, other_items.dtype)
     cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
 
     return SideState(

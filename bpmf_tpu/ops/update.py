@@ -62,14 +62,16 @@ def gram_rhs(
     split: bool,
     n_slots: int,
     gather_dtype=None,
+    ablate: str = "",
 ) -> tuple[jax.Array, jax.Array]:
     """Accumulate per-slot Gram [S,K,K] and rhs [S,K] over rated neighbors.
 
     The O(nnz * K^2) dominant work of the sweep (computeMuLambda,
     c++/sample.cpp:248-258) as MXU batched matmuls.
-    """
-    import os
 
+    ``ablate`` is a perf-debug knob (Config.ablate): 'nogather' / 'nogram'
+    skip phases to isolate their cost.
+    """
     r_rows, width = bucket.nbr.shape
     k = other_items.shape[-1]
     dtype = other_items.dtype
@@ -78,7 +80,6 @@ def gram_rhs(
         # Gram contraction runs at the same MXU precision either way and
         # accumulates in the compute dtype (preferred_element_type)
         other_items = other_items.astype(gather_dtype)
-    ablate = os.environ.get("BPMF_ABLATE", "")  # perf-debug knob
     if ablate == "nogather":
         # skip the neighbor gather entirely (constant fake neighborhoods)
         vg = jnp.broadcast_to(other_items[:1, None, :], (r_rows, width, k))
@@ -92,13 +93,14 @@ def gram_rhs(
     wts = (bucket.val - mean_rating) * bucket.mask * alpha  # [R, W]
     if ablate == "nogram":
         # keep the gather, skip the MXU contraction
-        gram = jnp.zeros((r_rows, k, k), vg.dtype) + vg[:, :1, :1, None]
-        rhs = vg.sum(axis=1)
+        gram = jnp.zeros((r_rows, k, k), dtype) + vg[:, :1, :1, None].astype(dtype)
+        rhs = vg.sum(axis=1).astype(dtype)
     else:
-        gram = jnp.einsum(
-            "rwk,rwl->rkl", vg, vg, preferred_element_type=vg.dtype
-        )
-        rhs = jnp.einsum("rwk,rw->rk", vg, wts, preferred_element_type=vg.dtype)
+        # preferred_element_type is the COMPUTE dtype (f32), not vg.dtype:
+        # with a bf16 gather the Gram/rhs must still accumulate in f32
+        # (config.py contract; segment_sum below reuses these outputs).
+        gram = jnp.einsum("rwk,rwl->rkl", vg, vg, preferred_element_type=dtype)
+        rhs = jnp.einsum("rwk,rw->rk", vg, wts, preferred_element_type=dtype)
     if split:
         gram = jax.ops.segment_sum(gram, bucket.row_slot, num_segments=n_slots)
         rhs = jax.ops.segment_sum(rhs, bucket.row_slot, num_segments=n_slots)

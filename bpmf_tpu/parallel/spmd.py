@@ -83,6 +83,7 @@ def gather_half_sweep(
     noise_scale: float,
     solver: str = "unrolled",
     matmul_dtype: str = "float32",
+    ablate: str = "",
 ) -> SideState:
     """Value-exchange half-sweep (Sys::sample + bcast-family comm)."""
     dtype = other_items.dtype
@@ -123,6 +124,7 @@ def gather_half_sweep(
             gather_dtype=(
                 jnp.bfloat16 if matmul_dtype == "bfloat16" else None
             ),
+            ablate=ablate,
         )
         # reduce_sum_cov_norm (c++/mpi_common.h:44-50) as one fused psum
         s = lax.psum(s, AXIS)
@@ -177,7 +179,10 @@ def gather_half_sweep(
 def dense_half_sweep(
     mesh: Mesh,
     state: SideState,
-    a_raw: jax.Array,          # [D*local_pad, other_padded] raw ratings, 0=absent
+    a_ind: jax.Array,          # [D*local_pad, other_padded] 0/1 indicator,
+                               # PRE-CAST to the matmul dtype (bf16 on TPU)
+    a_val: jax.Array,          # [D*local_pad, other_padded] pre-centered
+                               # (r - mean) * alpha * indicator, matmul dtype
     prop_mu: Optional[jax.Array],
     prop_lambda: Optional[jax.Array],
     other_items: jax.Array,    # [D_other*local_pad_other, K] sharded
@@ -187,7 +192,6 @@ def dense_half_sweep(
     num: int,
     local_orig: jax.Array,     # [D, local_pad]
     local_valid: jax.Array,    # [D, local_pad]
-    mean_rating: jax.Array,
     alpha: float,
     burnin: int,
     diagonal_only: bool,
@@ -195,12 +199,19 @@ def dense_half_sweep(
     noise_scale: float,
     solver: str = "xla",
     matmul_dtype: str = "float32",
+    ablate: str = "",
 ) -> SideState:
     """Dense-adjacency half-sweep: computeMuLambda as two MXU matmuls
     (see partition.build_dense_layout).  No gathers, no scatters — the
     whole local item shard is recomputed in place.  Numerically identical
     to the bucketed path (same noise keying), so trajectories match across
-    implementations."""
+    implementations.
+
+    The indicator/value blocks are precomputed at setup (sampler.py) in
+    the MXU input dtype: deriving them per-iteration from the raw f32
+    ratings block costs three elementwise passes over the [I, N] block —
+    ~3x the HBM traffic of the matmuls themselves (measured ~1.7x
+    end-to-end on ml-1m synth)."""
     dtype = other_items.dtype
     k = other_items.shape[-1]
     hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
@@ -210,33 +221,29 @@ def dense_half_sweep(
     has_prop = prop_mu is not None
 
     def body(aggr_mu_l, aggr_prod_l, prop_mu_l, prop_lambda_l,
-             other_l, local_orig_l, local_valid_l, a_l):
+             other_l, local_orig_l, local_valid_l, a_ind_l, a_val_l):
         local_orig_l = local_orig_l[0]
         local_valid_l = local_valid_l[0]
         local_pad = local_orig_l.shape[0]
 
         other_full = lax.all_gather(other_l, AXIS, tiled=True)  # [N, K]
-        md = jnp.bfloat16 if matmul_dtype == "bfloat16" else dtype
-        a_f = a_l.astype(dtype)
-        a_ind = (a_l != 0).astype(md)
-        a_val = ((a_f - mean_rating) * (a_l != 0) * alpha).astype(md)
+        md = a_ind_l.dtype
 
         # rowwise outer products of the frozen side: [N, K*K]
-        import os as _os2
-        if _os2.environ.get("BPMF_ABLATE", "") == "nomatmul":
+        if ablate == "nomatmul":
             gram = jnp.zeros((local_pad, k, k), dtype) + jnp.eye(k, dtype=dtype) * (
                 1.0 + other_full[0, 0] * 1e-12
             )
-            rhs = jnp.zeros((local_pad, k), dtype) + a_val[:, :1].astype(dtype)
+            rhs = jnp.zeros((local_pad, k), dtype) + a_val_l[:, :1].astype(dtype)
         else:
             p = jnp.einsum(
                 "nk,nl->nkl", other_full, other_full,
                 preferred_element_type=dtype,
             ).reshape(other_full.shape[0], k * k)
-            gram = jnp.matmul(a_ind, p.astype(md), preferred_element_type=dtype)
+            gram = jnp.matmul(a_ind_l, p.astype(md), preferred_element_type=dtype)
             gram = gram.reshape(local_pad, k, k)
             rhs = jnp.matmul(
-                a_val, other_full.astype(md), preferred_element_type=dtype
+                a_val_l, other_full.astype(md), preferred_element_type=dtype
             )
 
         precision, full_rhs = posterior_precision_rhs(
@@ -253,9 +260,7 @@ def dense_half_sweep(
         noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
         if noise_scale != 1.0:
             noise = noise * noise_scale
-        import os as _os
-        _ab = _os.environ.get("BPMF_ABLATE", "")
-        if _ab == "nosolve":
+        if ablate == "nosolve":
             u = full_rhs + noise + precision[:, 0, :]
         else:
             u = get_solver(solver)(precision, full_rhs, noise)
@@ -284,7 +289,8 @@ def dense_half_sweep(
         P(AXIS, None),            # other items (gathered inside)
         P(AXIS, None),            # local_orig
         P(AXIS, None),            # local_valid
-        P(AXIS, None),            # dense ratings block
+        P(AXIS, None),            # dense indicator block
+        P(AXIS, None),            # dense value block
     )
     out_specs = (
         P(AXIS, None),
@@ -306,7 +312,8 @@ def dense_half_sweep(
         other_items,
         local_orig,
         local_valid,
-        a_raw,
+        a_ind,
+        a_val,
     )
 
     n_f = jnp.asarray(num, dtype)
@@ -338,6 +345,7 @@ def reduce_half_sweep(
     noise_scale: float,
     solver: str = "unrolled",
     matmul_dtype: str = "float32",
+    ablate: str = "",
 ) -> SideState:
     """Statistic-exchange half-sweep (ENABLE_REDUCE family)."""
     dtype = other_items.dtype
@@ -365,6 +373,7 @@ def reduce_half_sweep(
                 gather_dtype=(
                     jnp.bfloat16 if matmul_dtype == "bfloat16" else None
                 ),
+                ablate=ablate,
             )
             gram_full = gram_full.at[b.item_ids].add(
                 g * b.slot_valid[:, None, None]

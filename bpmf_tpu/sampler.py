@@ -271,6 +271,10 @@ class BPMF:
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         self._shard = shard
+        self.solver = cfg.resolve_solver(jax.default_backend())
+        self.matmul_dtype = cfg.resolve_matmul_dtype(jax.default_backend())
+        md = jnp.bfloat16 if self.matmul_dtype == "bfloat16" else dtype
+        self._md = md
         aggregate = bool(cfg.output_dir)
         with self.counters.scope("upload"):
             self.movies_gdata, self.movies_rdata = self.movies.device_data(
@@ -289,9 +293,20 @@ class BPMF:
                 dense=None,
             )
             if side.impl == "dense":
+                # precompute the indicator / centered-value blocks in the
+                # MXU input dtype once: deriving them per-iteration from
+                # the raw f32 block costs ~3x the matmuls' HBM traffic
                 d, lp, opn = side.dense.shape
-                aux["dense"] = shard(
-                    jnp.asarray(side.dense.reshape(d * lp, opn)), 0
+                flat = side.dense.reshape(d * lp, opn)
+                ind_np = flat != 0
+                val_np = (
+                    (flat - np.float32(self.mean_rating))
+                    * ind_np
+                    * np.float32(cfg.alpha)
+                ).astype(np.float32)
+                aux["dense"] = (
+                    shard(jnp.asarray(ind_np, md), 0),
+                    shard(jnp.asarray(val_np, md), 0),
                 )
             self._aux[side.name] = aux
 
@@ -333,8 +348,6 @@ class BPMF:
 
         mesh = self.mesh
         mode = self.mode
-        self.solver = cfg.resolve_solver(jax.default_backend())
-        self.matmul_dtype = cfg.resolve_matmul_dtype(jax.default_backend())
         common = dict(
             mean_rating=mean_rating,
             alpha=cfg.alpha,
@@ -344,20 +357,21 @@ class BPMF:
             noise_scale=1.0,
             solver=self.solver,
             matmul_dtype=self.matmul_dtype,
+            ablate=cfg.ablate,
         )
 
         def sweep(state, gdata, rdata, dense, other_items, key, it, side: Side):
             aux = self._aux[side.name]
             if side.impl == "dense":
                 kw = dict(common)
-                kw.pop("mean_rating")
+                kw.pop("mean_rating")  # baked into the precomputed a_val
                 return dense_half_sweep(
-                    mesh, state, dense, gdata.prop_mu, gdata.prop_lambda,
+                    mesh, state, dense[0], dense[1],
+                    gdata.prop_mu, gdata.prop_lambda,
                     other_items, key, it,
                     num=side.num,
                     local_orig=aux["local_orig"],
                     local_valid=aux["local_valid"],
-                    mean_rating=mean_rating,
                     **kw,
                 )
             if mode == "reduce":
@@ -386,7 +400,7 @@ class BPMF:
                 state_u, u_gdata, u_rdata, u_dense, state_m.items,
                 jax.random.fold_in(key_it, 1), it, self.users,
             )
-            if os.environ.get("BPMF_ABLATE", "") == "nopredict":  # perf-debug
+            if cfg.ablate == "nopredict":  # perf-debug
                 est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
             else:
                 est2, rmse, rmse_avg = predict(
@@ -455,15 +469,25 @@ class BPMF:
 
     def _log_banner(self) -> None:
         cfg = self.cfg
-        # dataset statistics banner (Sys::init, c++/sample.cpp:203-219)
-        degs = self.movies.degrees
+        # dataset statistics banner (Sys::init, c++/sample.cpp:203-219);
+        # the reference prints the degree stats once per Sys — both sides
         bp1, bp2 = 24, 10500  # breakpoint1/2 (c++/bpmf.h:255-256)
         self._log(f"mean rating: {self.mean_rating:.6g}")
         self._log(f"total number of ratings in train: {self.train.nnz}")
         self._log(f"total number of ratings in test: {self.test.nnz}")
-        self._log(f"average ratings per row: {degs.mean():.6g}")
-        self._log(f"rows > break_point1: {100.0 * (degs > bp1).mean():.6g}")
-        self._log(f"rows > break_point2: {100.0 * (degs > bp2).mean():.6g}")
+        for side in (self.movies, self.users):
+            degs = side.degrees
+            self._log(
+                f"{side.name}: average ratings per row: {degs.mean():.6g}"
+            )
+            self._log(
+                f"{side.name}: rows > break_point1: "
+                f"{100.0 * (degs > bp1).mean():.6g}"
+            )
+            self._log(
+                f"{side.name}: rows > break_point2: "
+                f"{100.0 * (degs > bp2).mean():.6g}"
+            )
         self._log(f"num movs: {self.movies.num}")
         self._log(f"num users: {self.users.num}")
         if self.movies.prop_mu is not None or self.users.prop_mu is not None:
@@ -490,9 +514,11 @@ class BPMF:
         for side in (self.movies, self.users):
             if side.impl == "dense":
                 d, lp, opn = side.dense.shape
+                nbytes = jnp.dtype(self._md).itemsize
                 self._log(
                     f"gram layout {side.name}: dense adjacency "
-                    f"{d}x{lp}x{opn} ({d * lp * opn * 4 / 1e6:.0f} MB)"
+                    f"{d}x{lp}x{opn} x2 blocks "
+                    f"({2 * d * lp * opn * nbytes / 1e6:.0f} MB {self.matmul_dtype})"
                 )
                 continue
             layout = side.reduce if self.mode == "reduce" else side.gather
@@ -551,6 +577,7 @@ class BPMF:
 
         chunk = max(1, cfg.chunk) if not cfg.verbose else 1
         done = self.iter + 1
+        last_ckpt = done
         while done < cfg.nsims:
             n = min(chunk, cfg.nsims - done)
             start = tick()
@@ -602,11 +629,15 @@ class BPMF:
                 cfg.checkpoint_path
                 and cfg.checkpoint_freq
                 and done < cfg.nsims
-                and done % cfg.checkpoint_freq == 0
+                # boundary-crossing trigger: `done` advances in steps of
+                # `chunk`, so a plain modulo test would silently never fire
+                # when checkpoint_freq is not a multiple of chunk
+                and done - last_ckpt >= cfg.checkpoint_freq
             ):
                 from bpmf_tpu import checkpoint
 
                 checkpoint.save(cfg.checkpoint_path, self)
+                last_ckpt = done
 
         elapsed = tick() - begin
 

@@ -82,3 +82,20 @@ def test_checkpoint_freq(tmp_path):
     assert os.path.exists(ck)
     data = np.load(ck)
     assert int(data["iter"]) == 8  # final save wins
+
+
+def test_resume_refuses_wrong_dataset(tmp_path):
+    """A checkpoint binds to its dataset content (hash stored in the npz);
+    resuming against different train/test must fail loudly."""
+    train, test = make_ratings(seed=11)
+    other_train, other_test = make_ratings(seed=12)
+    ck = str(tmp_path / "state.npz")
+
+    cfg_a = Config(num_latent=4, nsims=2, burnin=0, checkpoint_path=ck)
+    BPMF(cfg_a, train=train, test=test, out=open(os.devnull, "w")).run()
+
+    cfg_b = Config(num_latent=4, nsims=4, burnin=0, resume=ck)
+    b = BPMF(cfg_b, train=other_train, test=other_test,
+             out=open(os.devnull, "w"))
+    with pytest.raises(ValueError, match="different dataset"):
+        checkpoint.load(ck, b)

@@ -42,7 +42,7 @@ def test_tiny_run_test_flow(tmp_path, tiny_files, monkeypatch):
 
 def test_cli_no_args_prints_help(capsys):
     assert cli.main([]) == 1
-    assert "Usage" in capsys.readouterr().out or True
+    assert "usage" in capsys.readouterr().out.lower()
 
 
 def test_cli_missing_file():
