@@ -62,9 +62,14 @@ class Config:
                                   # always f32 (f64 under dtype=float64)
     dense_limit_bytes: int = 1 << 30  # dense-adjacency budget per side
     strict_reference: bool = True # keep reference quirks (see ops/update.py)
-    ablate: str = ""              # perf-debug: skip a sweep phase to isolate
-                                  # its cost: '' | 'nogather' | 'nogram' |
-                                  # 'nomatmul' | 'nosolve' | 'nopredict'
+    ablate: str = ""              # perf-debug: skip sweep phases to isolate
+                                  # their cost; comma-separated subset of
+                                  # nogather,nogram,nomatmul,nosolve,nopredict
+    fuse_dense: str = "auto"      # packed-triangle fused dense sweep
+                                  # (spmd.dense_half_sweep_fused): 'auto' =
+                                  # on TPU when eligible; 'on' forces it
+                                  # (interpret-mode Pallas off-TPU, slow —
+                                  # tests only); 'off' disables
 
     def __post_init__(self):
         if self.comm_mode not in ("auto", "gather", "reduce"):
@@ -79,10 +84,11 @@ class Config:
             raise ValueError(f"bad gram_impl {self.gram_impl!r}")
         if self.matmul_dtype not in ("auto", "bfloat16", "float32"):
             raise ValueError(f"bad matmul_dtype {self.matmul_dtype!r}")
-        if self.ablate not in (
-            "", "nogather", "nogram", "nomatmul", "nosolve", "nopredict"
-        ):
+        allowed = {"nogather", "nogram", "nomatmul", "nosolve", "nopredict"}
+        if self.ablate and not set(self.ablate.split(",")) <= allowed:
             raise ValueError(f"bad ablate {self.ablate!r}")
+        if self.fuse_dense not in ("auto", "on", "off"):
+            raise ValueError(f"bad fuse_dense {self.fuse_dense!r}")
 
     def resolve_solver(self, backend: str) -> str:
         """'smart' picks per batch size (measured on v5e, K=32): pure-XLA

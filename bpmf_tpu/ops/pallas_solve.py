@@ -35,7 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["chol_solve_sample_pallas", "chol_solve_sample_pallas_blast"]
+__all__ = [
+    "chol_solve_sample_pallas",
+    "chol_solve_sample_pallas_blast",
+    "tri_offsets",
+    "tri_index_pairs",
+    "tri_combine_solve_sample",
+]
 
 _BLOCK = 256  # items per grid step: 256*32*32*4 = 1 MB tile in VMEM at K=32
 
@@ -209,6 +215,148 @@ def chol_solve_sample_pallas_blast(
         interpret=interpret,
     )(prec_t, rhs_t, noise_t)
     return out.T[:b]
+
+
+def tri_offsets(k: int, align: int = 8):
+    """Row offsets of the 8-aligned packed-lower-triangle layout.
+
+    Column j of the lower triangle (elements (i, j), i >= j) is stored as
+    ``k - j`` consecutive rows starting at ``offs[j]``, padded up to a
+    multiple of ``align`` sublanes so in-kernel slices stay aligned.
+    Returns (offs list, total padded row count T)."""
+    offs = []
+    t = 0
+    for j in range(k):
+        offs.append(t)
+        seg = k - j
+        t += ((seg + align - 1) // align) * align
+    return offs, t
+
+
+def tri_index_pairs(k: int, align: int = 8):
+    """(rows i, cols j) index arrays of length T for building the packed
+    p_tri operand: p_tri[t] = v[i_t] * v[j_t]; padding rows repeat (0, 0)
+    (they multiply zero adjacency columns, so their value is irrelevant)."""
+    import numpy as np
+
+    offs, t_total = tri_offsets(k, align)
+    ii = np.zeros((t_total,), np.int32)
+    jj = np.zeros((t_total,), np.int32)
+    for j in range(k):
+        seg = k - j
+        ii[offs[j] : offs[j] + seg] = np.arange(j, k)
+        jj[offs[j] : offs[j] + seg] = j
+    return ii, jj
+
+
+def _kernel_tri_fused(lam_ref, gtri_ref, rhs_ref, noise_ref, out_ref,
+                      *, k: int, alpha: float):
+    """Fused prior-combine + Cholesky + substitutions + MVN sample on a
+    PACKED-TRIANGLE batch-last Gram tile.
+
+    gtri tile: [T, B] — column j of the Gram's lower triangle in rows
+    [offs[j], offs[j] + k - j).  The full working matrix
+    a = lam + alpha * gram is assembled in VMEM (registers), so the Gram
+    never round-trips HBM in full [K, K] form and the combine costs no
+    extra memory pass."""
+    g = gtri_ref[:].astype(jnp.float32)      # [T, B]
+    lam = lam_ref[:].astype(jnp.float32)     # [K, K]
+    y = rhs_ref[:].astype(jnp.float32)       # [K, B]
+    noise = noise_ref[:].astype(jnp.float32)
+    b = g.shape[1]
+    offs, _ = tri_offsets(k)
+
+    # assemble the LOWER triangle only — the right-looking Cholesky below
+    # reads column j's rows >= j exclusively, so the upper triangle can
+    # stay garbage (no mirror pass needed)
+    acols = []
+    for j in range(k):
+        seg = g[offs[j] : offs[j] + (k - j)]             # [k-j, B]
+        if j:
+            seg = jnp.concatenate(
+                [jnp.zeros((j, b), jnp.float32), seg], axis=0
+            )
+        acols.append(seg)
+    a = lam[:, :, None] + alpha * jnp.stack(acols, axis=1)  # [K, K, B]
+
+    # Cholesky: a pre-masked column makes the rank-1 downdate self-masking
+    # (col[c] = 0 for c <= j zeroes the already-processed columns' update),
+    # so each step is one mul + one sub over [K, K, B] — no full-matrix
+    # selects.  L is materialized once afterwards for the substitutions.
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    lcols = []
+    for j in range(k):
+        d = jax.lax.rsqrt(a[j, j, :])
+        col = a[:, j, :] * d[None, :]                    # [K, B]
+        col = jnp.where(rows2 >= j, col, 0.0)
+        lcols.append(col)
+        a = a - col[:, None, :] * col[None, :, :]
+    l = jnp.stack(lcols, axis=1)                         # [K, K, B]
+
+    for j in range(k):
+        yj = y[j, :] / l[j, j, :]
+        y = jnp.where(rows2 > j, y - l[:, j, :] * yj[None, :], y)
+        y = jnp.where(rows2 == j, yj[None, :], y)
+
+    y = y + noise
+
+    for j in range(k - 1, -1, -1):
+        xj = y[j, :] / l[j, j, :]
+        y = jnp.where(rows2 < j, y - l[j, :, :] * xj[None, :], y)
+        y = jnp.where(rows2 == j, xj[None, :], y)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def tri_fused_supported(k: int) -> bool:
+    """VMEM budget check for the fused tri kernel at lane block 128."""
+    _, t_total = tri_offsets(k)
+    return (t_total + 3 * k * k) * 128 * 4 <= 11 * 1024 * 1024
+
+
+def tri_combine_solve_sample(
+    gram_tri_t: jax.Array,  # [T, B] packed-lower-triangle Gram, batch-last
+    lam: jax.Array,         # [K, K] shared prior precision
+    rhs_t: jax.Array,       # [K, B] data rhs + prior rhs, batch-last
+    noise_t: jax.Array,     # [K, B] N(0, I) draws, batch-last
+    alpha: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """u_t [K, B] with (lam + alpha * Gram_b) u_b = rhs_b + L_b noise_b —
+    the whole per-item conditional tail (c++/sample.cpp:297-324) in one
+    VMEM pass."""
+    k, b = rhs_t.shape
+    t_total = gram_tri_t.shape[0]
+    budget = 11 * 1024 * 1024
+    block = 0
+    for cand in (512, 256, 128):
+        if (t_total + 3 * k * k) * cand * 4 <= budget:
+            block = cand
+            break
+    assert block, f"K={k} too large for the fused tri kernel (tri_fused_supported)"
+    bp = ((b + block - 1) // block) * block
+    if bp != b:
+        pad = bp - b
+        gram_tri_t = jnp.pad(gram_tri_t, ((0, 0), (0, pad)))
+        rhs_t = jnp.pad(rhs_t, ((0, 0), (0, pad)))
+        noise_t = jnp.pad(noise_t, ((0, 0), (0, pad)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_tri_fused, k=k, alpha=alpha),
+        out_shape=jax.ShapeDtypeStruct((k, bp), rhs_t.dtype),
+        grid=(bp // block,),
+        in_specs=[
+            pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_total, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lam, gram_tri_t, rhs_t, noise_t)
+    return out[:, :b]
 
 
 def chol_solve_sample_pallas(

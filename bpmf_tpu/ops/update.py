@@ -80,7 +80,7 @@ def gram_rhs(
         # Gram contraction runs at the same MXU precision either way and
         # accumulates in the compute dtype (preferred_element_type)
         other_items = other_items.astype(gather_dtype)
-    if ablate == "nogather":
+    if "nogather" in ablate.split(","):
         # skip the neighbor gather entirely (constant fake neighborhoods)
         vg = jnp.broadcast_to(other_items[:1, None, :], (r_rows, width, k))
     else:
@@ -91,7 +91,7 @@ def gram_rhs(
         vg = vg.reshape(r_rows, width, k)              # [R, W, K]
     vg = vg * bucket.mask[..., None]
     wts = (bucket.val - mean_rating) * bucket.mask * alpha  # [R, W]
-    if ablate == "nogram":
+    if "nogram" in ablate.split(","):
         # keep the gather, skip the MXU contraction
         gram = jnp.zeros((r_rows, k, k), dtype) + vg[:, :1, :1, None].astype(dtype)
         rhs = vg.sum(axis=1).astype(dtype)

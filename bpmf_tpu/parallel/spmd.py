@@ -230,7 +230,7 @@ def dense_half_sweep(
         md = a_ind_l.dtype
 
         # rowwise outer products of the frozen side: [N, K*K]
-        if ablate == "nomatmul":
+        if "nomatmul" in ablate.split(","):
             gram = jnp.zeros((local_pad, k, k), dtype) + jnp.eye(k, dtype=dtype) * (
                 1.0 + other_full[0, 0] * 1e-12
             )
@@ -260,7 +260,7 @@ def dense_half_sweep(
         noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
         if noise_scale != 1.0:
             noise = noise * noise_scale
-        if ablate == "nosolve":
+        if "nosolve" in ablate.split(","):
             u = full_rhs + noise + precision[:, 0, :]
         else:
             u = get_solver(solver)(precision, full_rhs, noise)
@@ -313,6 +313,138 @@ def dense_half_sweep(
         local_orig,
         local_valid,
         a_ind,
+        a_val,
+    )
+
+    n_f = jnp.asarray(num, dtype)
+    cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
+    return SideState(
+        items=items, hp=hp, sum=s, cov=cov, norm=norm,
+        aggr_mu=aggr_mu, aggr_prod=aggr_prod,
+    )
+
+
+def dense_half_sweep_fused(
+    mesh: Mesh,
+    state: SideState,
+    a_ind_t: jax.Array,        # [other_padded, D*local_pad] indicator,
+                               # TRANSPOSED, matmul dtype, sharded on dim 1
+    a_val: jax.Array,          # [D*local_pad, other_padded] centered values,
+                               # ROW-major (the rhs matmul wants M = items;
+                               # an M=K output starves the 128-wide MXU)
+    other_items: jax.Array,    # [D*local_pad_other, K] sharded
+    key: jax.Array,
+    it: jax.Array,
+    *,
+    num: int,
+    local_orig: jax.Array,     # [D, local_pad]
+    local_valid: jax.Array,    # [D, local_pad]
+    alpha: float,
+    burnin: int,
+    noise_scale: float,
+    interpret: bool = False,
+) -> SideState:
+    """Dense half-sweep with the packed-triangle fused solve
+    (ops/pallas_solve.tri_combine_solve_sample).
+
+    Three wins over :func:`dense_half_sweep` (measured on v5e, ml-1m):
+    (1) the Gram matmul contracts against the PACKED lower triangle of the
+    frozen side's outer products — ~0.55x the MXU flops of the full K^2
+    columns; (2) the Gram never materializes in full [B, K, K] form in HBM
+    and the prior combine happens on the VMEM tile — one memory pass
+    saved; (3) everything downstream of the matmul is batch-last, so the
+    [B,K,K] -> [K,K,B] transpose disappears.  Numerics: identical math,
+    f32 accumulation, same noise keying -> trajectories match the other
+    implementations to reassociation tolerance."""
+    from bpmf_tpu.ops.pallas_solve import (
+        tri_combine_solve_sample,
+        tri_index_pairs,
+    )
+
+    dtype = other_items.dtype
+    k = other_items.shape[-1]
+    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    side_key = jax.random.fold_in(key, 1)
+    md = a_ind_t.dtype
+    tri_i, tri_j = tri_index_pairs(k)
+    tri_i = jnp.asarray(tri_i)
+    tri_j = jnp.asarray(tri_j)
+
+    has_aggr = state.aggr_mu is not None
+
+    def body(aggr_mu_l, aggr_prod_l, other_l, local_orig_l, local_valid_l,
+             a_ind_t_l, a_val_l):
+        local_orig_l = local_orig_l[0]
+        local_valid_l = local_valid_l[0]
+
+        other_full = lax.all_gather(other_l, AXIS, tiled=True)  # [N, K]
+        v_t = other_full.T                                       # [K, N]
+        # packed lower triangle of the rowwise outer products, [T, N]
+        p_tri_t = (jnp.take(v_t, tri_i, axis=0)
+                   * jnp.take(v_t, tri_j, axis=0)).astype(md)
+        gram_tri_t = jnp.matmul(
+            p_tri_t, a_ind_t_l, preferred_element_type=dtype
+        )                                                        # [T, I]
+        rhs = jnp.matmul(
+            a_val_l, other_full.astype(md), preferred_element_type=dtype
+        )                                                        # [I, K]
+        # barrier: without it XLA re-fuses the transpose into the matmul
+        # and picks the M=32 output orientation, which starves the MXU
+        # (measured 0.07 vs 0.02 ms on ml-1m)
+        rhs = jax.lax.optimization_barrier(rhs)
+        prior_rhs = hp.lambda_f @ hp.mu                          # [K]
+        rhs_full_t = rhs.T + prior_rhs[:, None]                  # [K, I]
+        noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
+        if noise_scale != 1.0:
+            noise = noise * noise_scale
+        u_t = tri_combine_solve_sample(
+            gram_tri_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
+            interpret=interpret,
+        )                                                        # [K, I]
+        u = u_t.T
+
+        uv = u * local_valid_l[:, None]
+        s = lax.psum(uv.sum(axis=0), AXIS)
+        prod = lax.psum(
+            jnp.einsum("sk,sl->kl", uv, u, preferred_element_type=dtype), AXIS
+        )
+        norm = lax.psum(jnp.vdot(uv, u), AXIS)
+        aggr_on = jnp.asarray(it >= burnin, dtype)
+        if aggr_mu_l is not None:
+            aggr_mu_l = aggr_mu_l + uv * aggr_on
+            aggr_prod_l = aggr_prod_l + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+        return u, aggr_mu_l, aggr_prod_l, s, prod, norm
+
+    aggr_spec = P(AXIS, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    in_specs = (
+        aggr_spec,
+        aggr_prod_spec,
+        P(AXIS, None),            # other items (gathered inside)
+        P(AXIS, None),            # local_orig
+        P(AXIS, None),            # local_valid
+        P(None, AXIS),            # transposed indicator block
+        P(AXIS, None),            # row-major value block
+    )
+    out_specs = (
+        P(AXIS, None),
+        aggr_spec,
+        aggr_prod_spec,
+        P(),
+        P(),
+        P(),
+    )
+
+    items, aggr_mu, aggr_prod, s, prod, norm = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(
+        state.aggr_mu,
+        state.aggr_prod,
+        other_items,
+        local_orig,
+        local_valid,
+        a_ind_t,
         a_val,
     )
 

@@ -43,6 +43,7 @@ from bpmf_tpu.parallel.mesh import make_mesh
 from bpmf_tpu.parallel.spmd import (
     AXIS,
     dense_half_sweep,
+    dense_half_sweep_fused,
     gather_half_sweep,
     reduce_half_sweep,
 )
@@ -275,6 +276,29 @@ class BPMF:
         self.matmul_dtype = cfg.resolve_matmul_dtype(jax.default_backend())
         md = jnp.bfloat16 if self.matmul_dtype == "bfloat16" else dtype
         self._md = md
+
+        # packed-triangle fused dense sweep eligibility (per side: needs the
+        # shared hyperprior — the propagated-posterior branch keeps the
+        # generic path)
+        from bpmf_tpu.ops.pallas_solve import tri_fused_supported
+
+        def fuse_ok(side: Side) -> bool:
+            if cfg.fuse_dense == "off" or side.impl != "dense":
+                return False
+            eligible = (
+                tri_fused_supported(cfg.num_latent)
+                and not cfg.diagonal_only
+                and cfg.ablate == ""
+                and side.prop_mu is None
+                and self.solver in ("smart", "pallas")
+            )
+            if cfg.fuse_dense == "on":
+                return eligible
+            return eligible and jax.default_backend() == "tpu"
+
+        self._fuse_interpret = (
+            cfg.fuse_dense == "on" and jax.default_backend() != "tpu"
+        )
         aggregate = bool(cfg.output_dir)
         with self.counters.scope("upload"):
             self.movies_gdata, self.movies_rdata = self.movies.device_data(
@@ -292,6 +316,7 @@ class BPMF:
                 local_valid=shard(jnp.asarray(side.maps.local_valid, dtype), 2),
                 dense=None,
             )
+            aux["fused"] = fuse_ok(side)
             if side.impl == "dense":
                 # precompute the indicator / centered-value blocks in the
                 # MXU input dtype once: deriving them per-iteration from
@@ -304,10 +329,24 @@ class BPMF:
                     * ind_np
                     * np.float32(cfg.alpha)
                 ).astype(np.float32)
-                aux["dense"] = (
-                    shard(jnp.asarray(ind_np, md), 0),
-                    shard(jnp.asarray(val_np, md), 0),
-                )
+                if aux["fused"]:
+                    # fused sweep: indicator TRANSPOSED [N, D*lp] for the
+                    # packed-tri Gram matmul (device d owns columns
+                    # [d*lp, (d+1)*lp)); values stay row-major for the rhs
+                    def shard_t(x):
+                        return jax.device_put(
+                            x, NamedSharding(self.mesh, P(None, AXIS))
+                        )
+
+                    aux["dense"] = (
+                        shard_t(jnp.asarray(np.ascontiguousarray(ind_np.T), md)),
+                        shard(jnp.asarray(val_np, md), 0),
+                    )
+                else:
+                    aux["dense"] = (
+                        shard(jnp.asarray(ind_np, md), 0),
+                        shard(jnp.asarray(val_np, md), 0),
+                    )
             self._aux[side.name] = aux
 
         # eval data in padded index space
@@ -362,6 +401,17 @@ class BPMF:
 
         def sweep(state, gdata, rdata, dense, other_items, key, it, side: Side):
             aux = self._aux[side.name]
+            if side.impl == "dense" and aux["fused"]:
+                return dense_half_sweep_fused(
+                    mesh, state, dense[0], dense[1], other_items, key, it,
+                    num=side.num,
+                    local_orig=aux["local_orig"],
+                    local_valid=aux["local_valid"],
+                    alpha=cfg.alpha,
+                    burnin=cfg.burnin,
+                    noise_scale=1.0,
+                    interpret=self._fuse_interpret,
+                )
             if side.impl == "dense":
                 kw = dict(common)
                 kw.pop("mean_rating")  # baked into the precomputed a_val
@@ -400,7 +450,7 @@ class BPMF:
                 state_u, u_gdata, u_rdata, u_dense, state_m.items,
                 jax.random.fold_in(key_it, 1), it, self.users,
             )
-            if cfg.ablate == "nopredict":  # perf-debug
+            if "nopredict" in cfg.ablate.split(","):  # perf-debug
                 est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
             else:
                 est2, rmse, rmse_avg = predict(

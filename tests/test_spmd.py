@@ -151,3 +151,18 @@ def test_reduce_mode_with_prop_posterior(tmp_path, data):
     rr, ur, _ = _run(train, test, n_devices=8, comm_mode="reduce", **warm_kw)
     assert abs(rg - rr) < 1e-4
     np.testing.assert_allclose(ug, ur, rtol=2e-3, atol=2e-3)
+
+
+def test_fused_dense_matches_plain(data):
+    """The packed-triangle fused dense sweep (dense_half_sweep_fused +
+    ops/pallas_solve.tri_combine_solve_sample, interpret-mode Pallas on
+    CPU) reproduces the plain dense trajectory on 1 and 8 devices."""
+    train, test = data
+    r0, u0, v0 = _run(train, test, n_devices=1, gram_impl="dense",
+                      fuse_dense="off")
+    for n_dev in (1, 8):
+        rf, uf, vf = _run(train, test, n_devices=n_dev, gram_impl="dense",
+                          fuse_dense="on", solver="pallas")
+        assert abs(r0 - rf) < 1e-4
+        np.testing.assert_allclose(u0, uf, rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(v0, vf, rtol=2e-3, atol=2e-3)
