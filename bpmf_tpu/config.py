@@ -55,12 +55,17 @@ class Config:
                                   # padding (gather volume + HBM) vs 4 at
                                   # ~2x the bucket count — the right trade
                                   # in the bucketed (huge-sparse) regime
-    gram_impl: str = "auto"       # 'auto' | 'dense' | 'bucketed' (per-side auto)
+    gram_impl: str = "auto"       # 'auto' | 'dense' | 'dense8' | 'bucketed'
+                                  # (per-side auto)
     matmul_dtype: str = "auto"    # MXU input dtype for the Gram matmuls:
                                   # 'auto' (bf16 on TPU, f32 elsewhere) |
                                   # 'bfloat16' | 'float32'; accumulation is
                                   # always f32 (f64 under dtype=float64)
     dense_limit_bytes: int = 1 << 30  # dense-adjacency budget per side
+    dense8_limit_bytes: int = 12 << 30  # int8 code-array budget (ops/dense8):
+                                  # ONE [users_pad, movies_pad] int8 array
+                                  # shared by both sweeps (9.6 GB at ml-25M
+                                  # on a 16 GB-HBM chip)
     strict_reference: bool = True # keep reference quirks (see ops/update.py)
     ablate: str = ""              # perf-debug: skip sweep phases to isolate
                                   # their cost; comma-separated subset of
@@ -80,7 +85,7 @@ class Config:
             raise ValueError("num_latent must be >= 1")
         if self.solver not in ("auto", "xla", "unrolled", "vpu", "pallas", "smart"):
             raise ValueError(f"bad solver {self.solver!r}")
-        if self.gram_impl not in ("auto", "dense", "bucketed"):
+        if self.gram_impl not in ("auto", "dense", "dense8", "bucketed"):
             raise ValueError(f"bad gram_impl {self.gram_impl!r}")
         if self.matmul_dtype not in ("auto", "bfloat16", "float32"):
             raise ValueError(f"bad matmul_dtype {self.matmul_dtype!r}")

@@ -155,9 +155,15 @@ class SideMaps:
         return self.n_devices * self.local_pad
 
 
-def make_maps(ids_per_dev: list[np.ndarray], num: int) -> SideMaps:
+def make_maps(ids_per_dev: list[np.ndarray], num: int,
+              multiple: int | None = None) -> SideMaps:
+    """``multiple`` overrides the per-device padding granularity (the int8
+    dense-stream kernels need padded_num to be a block multiple)."""
     n_dev = len(ids_per_dev)
-    local_pad = pad_count(max(len(ids) for ids in ids_per_dev) + 1)
+    local_pad = pad_count(
+        max(len(ids) for ids in ids_per_dev) + 1,
+        *(() if multiple is None else (multiple,)),
+    )
     orig_to_padded = np.zeros((num,), np.int64)
     local_orig = np.full((n_dev, local_pad), num, np.int32)
     local_valid = np.zeros((n_dev, local_pad), np.float32)

@@ -42,6 +42,7 @@ from bpmf_tpu.parallel import partition as part
 from bpmf_tpu.parallel.mesh import make_mesh
 from bpmf_tpu.parallel.spmd import (
     AXIS,
+    dense8_half_sweep,
     dense_half_sweep,
     dense_half_sweep_fused,
     gather_half_sweep,
@@ -229,19 +230,92 @@ class BPMF:
 
         self.mesh = make_mesh(self.n_devices)
 
-        # per-side Gram implementation: dense adjacency (two MXU matmuls,
-        # zero gathers — see partition.build_dense_layout) while the dense
-        # block fits the budget; degree-bucketed padded CSR beyond that.
+        # int8 dense-stream eligibility (ops/dense8): one shared
+        # [users_pad, movies_pad] int8 code array, single chip, ratings on
+        # an exact affine grid (true for the whole MovieLens family).
+        from bpmf_tpu.ops.dense8 import (
+            BLOCK_MULTIPLE,
+            quantize_values,
+        )
+        from bpmf_tpu.ops.pallas_solve import tri_fused_supported
+
+        self._codes = None
+        self._d8_quant = None
+        d8_ok = (
+            cfg.gram_impl in ("auto", "dense8")
+            and self.n_devices == 1
+            and cfg.dtype == "float32"
+            and not cfg.diagonal_only
+            and cfg.ablate == ""
+            and tri_fused_supported(cfg.num_latent)
+        )
+        if d8_ok:
+            q = quantize_values(self.train.data)
+            rp = -(-self.users.maps.padded_num // BLOCK_MULTIPLE) * BLOCK_MULTIPLE
+            cp = -(-self.movies.maps.padded_num // BLOCK_MULTIPLE) * BLOCK_MULTIPLE
+            d8_ok = q is not None and rp * cp <= cfg.dense8_limit_bytes
+            self._d8_quant = q
+        if cfg.gram_impl == "dense8" and not d8_ok:
+            raise ValueError(
+                "gram_impl='dense8' needs a single device, float32, "
+                "grid-quantizable ratings, and K within the fused tri "
+                "kernel's VMEM budget"
+            )
+
+        def d8_side_ok(side: Side) -> bool:
+            if not d8_ok or side.prop_mu is not None:
+                return False
+            if cfg.gram_impl == "dense8":
+                return True
+            # auto: TPU only (interpret-mode Pallas off-TPU is tests-only),
+            # gather mode only (dense8 is a no-exchange single-chip path;
+            # reduce-mode runs keep the bucketed statistic-exchange
+            # program), only under the default solver family (a user-forced
+            # exact solver keeps the path that honors it), and only BEYOND
+            # the bf16 dense budget — below it the fused dense sweep with
+            # its precomputed operands wins (measured ml-1m synth: 7.8M
+            # items/s fused vs 6.9M dense8; the in-kernel indicator /
+            # centered-value derivation is dense8's price for 4x less HBM)
+            a_bytes = (
+                side.maps.padded_num
+                * (self.users if side is self.movies else self.movies
+                   ).maps.padded_num * 4
+            )
+            return (
+                jax.default_backend() == "tpu"
+                and self.mode == "gather"
+                and cfg.resolve_solver("tpu") in ("smart", "pallas")
+                and a_bytes > cfg.dense_limit_bytes
+            )
+
+        # per-side Gram implementation: int8 dense-stream where eligible;
+        # dense bf16 adjacency (two MXU matmuls, zero gathers — see
+        # partition.build_dense_layout) while the block fits the budget;
+        # degree-bucketed padded CSR beyond that.
         def choose_impl(side: Side, other: Side) -> str:
+            if d8_side_ok(side):
+                return "dense8"
+            if cfg.gram_impl == "dense8":  # side excluded (prop posterior)
+                return "dense" if self.mode == "gather" else "bucketed"
             if cfg.gram_impl != "auto":
                 return cfg.gram_impl
             if self.mode != "gather":
                 return "bucketed"
             a_bytes = side.maps.padded_num * other.maps.padded_num * 4
-            return "dense" if a_bytes <= cfg.dense_limit_bytes else "bucketed"
+            if a_bytes > cfg.dense_limit_bytes:
+                return "bucketed"
+            return "dense"
 
         self.movies.impl = choose_impl(self.movies, self.users)
         self.users.impl = choose_impl(self.users, self.movies)
+
+        if "dense8" in (self.movies.impl, self.users.impl):
+            # the shared code array needs both sides' padded counts to be
+            # multiples of the kernel block size
+            for side in (self.movies, self.users):
+                side.maps = part.make_maps(
+                    side.maps.ids_per_dev, side.num, multiple=BLOCK_MULTIPLE
+                )
 
         # layouts
         with self.counters.scope("layout"):
@@ -249,7 +323,9 @@ class BPMF:
                 (self.movies, self.users),
                 (self.users, self.movies),
             ):
-                if side.impl == "dense":
+                if side.impl == "dense8":
+                    pass  # shared code array, built once below
+                elif side.impl == "dense":
                     side.dense = part.build_dense_layout(
                         side.m, side.maps,
                         other.maps.orig_to_padded, other.maps.padded_num,
@@ -272,6 +348,28 @@ class BPMF:
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         self._shard = shard
+
+        if "dense8" in (self.movies.impl, self.users.impl):
+            from bpmf_tpu.ops.dense8 import build_code_array
+
+            q = self._d8_quant
+            coo = self.train.tocoo()
+            codes_np = build_code_array(
+                self.users.maps.orig_to_padded[coo.row],
+                self.movies.maps.orig_to_padded[coo.col],
+                coo.data,
+                q,
+                self.users.maps.padded_num,
+                self.movies.maps.padded_num,
+            )
+            with self.counters.scope("upload"):
+                # numpy straight to device — jnp.asarray first would create
+                # a second device copy of the multi-GB array
+                self._codes = jax.device_put(codes_np)
+            del codes_np
+            self._d8_cs = float(q.scale * cfg.alpha)
+            self._d8_cb = float((q.offset - self.mean_rating) * cfg.alpha)
+        self._d8_interpret = jax.default_backend() != "tpu"
         self.solver = cfg.resolve_solver(jax.default_backend())
         self.matmul_dtype = cfg.resolve_matmul_dtype(jax.default_backend())
         md = jnp.bfloat16 if self.matmul_dtype == "bfloat16" else dtype
@@ -317,7 +415,12 @@ class BPMF:
                 dense=None,
             )
             aux["fused"] = fuse_ok(side)
-            if side.impl == "dense":
+            if side.impl == "dense8":
+                # the shared code array is passed ONCE as its own jit
+                # argument (self._codes) — passing the same buffer through
+                # both sides' dense slots makes XLA reserve its HBM twice
+                pass
+            elif side.impl == "dense":
                 # precompute the indicator / centered-value blocks in the
                 # MXU input dtype once: deriving them per-iteration from
                 # the raw f32 block costs ~3x the matmuls' HBM traffic
@@ -399,8 +502,24 @@ class BPMF:
             ablate=cfg.ablate,
         )
 
-        def sweep(state, gdata, rdata, dense, other_items, key, it, side: Side):
+        def sweep(state, gdata, rdata, dense, other_items, key, it, side: Side,
+                  codes=None):
             aux = self._aux[side.name]
+            if side.impl == "dense8":
+                return dense8_half_sweep(
+                    state, codes, other_items, key, it,
+                    num=side.num,
+                    local_orig=aux["local_orig"],
+                    local_valid=aux["local_valid"],
+                    alpha=cfg.alpha,
+                    burnin=cfg.burnin,
+                    noise_scale=1.0,
+                    cs=self._d8_cs,
+                    cb=self._d8_cb,
+                    orientation="rows" if side is self.users else "cols",
+                    matmul_dtype=md,
+                    interpret=self._d8_interpret,
+                )
             if side.impl == "dense" and aux["fused"]:
                 return dense_half_sweep_fused(
                     mesh, state, dense[0], dense[1], other_items, key, it,
@@ -440,15 +559,15 @@ class BPMF:
             )
 
         def _iter(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
-                  ev, key, it, m_dense=None, u_dense=None):
+                  ev, key, it, m_dense=None, u_dense=None, codes=None):
             key_it = jax.random.fold_in(key, it)
             state_m = sweep(
                 state_m, m_gdata, m_rdata, m_dense, state_u.items,
-                jax.random.fold_in(key_it, 0), it, self.movies,
+                jax.random.fold_in(key_it, 0), it, self.movies, codes=codes,
             )
             state_u = sweep(
                 state_u, u_gdata, u_rdata, u_dense, state_m.items,
-                jax.random.fold_in(key_it, 1), it, self.users,
+                jax.random.fold_in(key_it, 1), it, self.users, codes=codes,
             )
             if "nopredict" in cfg.ablate.split(","):  # perf-debug
                 est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
@@ -482,12 +601,12 @@ class BPMF:
         iter_impl = self._iter_impl
 
         def chunk(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
-                  ev, key, it0, m_dense, u_dense):
+                  ev, key, it0, m_dense, u_dense, codes):
             def body(carry, j):
                 sm, su, e = carry
                 sm, su, e, met = iter_impl(
                     sm, su, e, m_gdata, m_rdata, u_gdata, u_rdata,
-                    ev, key, it0 + j, m_dense, u_dense,
+                    ev, key, it0 + j, m_dense, u_dense, codes,
                 )
                 return (sm, su, e), met
             (sm, su, e), mets = lax.scan(
@@ -510,6 +629,7 @@ class BPMF:
             self.users_gdata, self.users_rdata,
             self.ev, self.key, it0,
             self._aux["movs"]["dense"], self._aux["users"]["dense"],
+            self._codes,
         )
         self.iter += n
         return mets
@@ -562,6 +682,13 @@ class BPMF:
                     f"{work.max() / max(work.mean(), 1):.3f}"
                 )
         for side in (self.movies, self.users):
+            if side.impl == "dense8":
+                r, c = self._codes.shape
+                self._log(
+                    f"gram layout {side.name}: int8 dense-stream "
+                    f"{r}x{c} shared code array ({r * c / 1e6:.0f} MB)"
+                )
+                continue
             if side.impl == "dense":
                 d, lp, opn = side.dense.shape
                 nbytes = jnp.dtype(self._md).itemsize
@@ -601,6 +728,7 @@ class BPMF:
             it,
             self._aux["movs"]["dense"],
             self._aux["users"]["dense"],
+            self._codes,
         )
         return metrics
 

@@ -1,0 +1,178 @@
+"""int8 dense-stream path (ops/dense8): quantization, kernels vs numpy,
+and end-to-end trajectory equality with the bf16/dense reference path."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bpmf_tpu.config import Config
+from bpmf_tpu.datasets import synth_movielens
+from bpmf_tpu.ops.dense8 import (
+    build_code_array,
+    dense8_gram_rhs_cols,
+    dense8_gram_rhs_rows,
+    quantize_values,
+    tri_selectors,
+)
+from bpmf_tpu.ops.pallas_solve import tri_index_pairs
+from bpmf_tpu.sampler import BPMF
+
+INTERP = jax.default_backend() != "tpu"
+
+
+# -- quantization -----------------------------------------------------------
+
+def test_quantize_half_stars():
+    q = quantize_values(np.asarray([0.5, 1.0, 3.5, 5.0]))
+    assert q is not None
+    assert q.scale == pytest.approx(0.5)
+    # code 1 decodes to the minimum value
+    assert q.offset + q.scale == pytest.approx(0.5)
+    assert q.levels == 10
+
+
+def test_quantize_integers():
+    q = quantize_values(np.asarray([1.0, 2.0, 5.0]))
+    assert q is not None and q.scale == pytest.approx(1.0) and q.levels == 5
+
+
+def test_quantize_rejects_continuous():
+    rng = np.random.default_rng(0)
+    assert quantize_values(rng.normal(size=300)) is None
+
+
+def test_quantize_rejects_too_many_levels():
+    assert quantize_values(np.arange(1, 300, dtype=np.float64)) is None
+
+
+def test_code_array_roundtrip():
+    vals = np.asarray([0.5, 2.0, 5.0, 3.5])
+    q = quantize_values(vals)
+    codes = build_code_array(
+        np.asarray([0, 1, 2, 3]), np.asarray([1, 0, 2, 1]), vals, q, 8, 8
+    )
+    assert codes.dtype == np.int8
+    dec = q.offset + q.scale * codes[np.arange(4), [1, 0, 2, 1]]
+    np.testing.assert_allclose(dec, vals)
+    assert codes.sum() == codes[np.arange(4), [1, 0, 2, 1]].sum()  # rest 0
+
+
+# -- kernels vs numpy --------------------------------------------------------
+
+def _ref_gram_rhs(codes, v, cs, cb, k):
+    ind = (codes != 0).astype(np.float32)
+    cv = codes.astype(np.float32) * cs + ind * cb
+    tri_i, tri_j = tri_index_pairs(k)
+    p = v[:, tri_i] * v[:, tri_j]
+    return ind @ p, cv @ v
+
+
+@pytest.mark.parametrize("orientation", ["rows", "cols"])
+def test_kernel_matches_numpy(orientation):
+    rng = np.random.default_rng(1)
+    r, c, k = 512, 512, 32
+    codes = rng.integers(0, 6, size=(r, c)).astype(np.int8)
+    cs, cb = 0.5, -1.25
+    if orientation == "rows":
+        v = rng.normal(size=(c, k)).astype(np.float32)
+        gram, rhs = jax.jit(
+            lambda a, b: dense8_gram_rhs_rows(a, b, cs, cb, interpret=INTERP)
+        )(jnp.asarray(codes), jnp.asarray(v))
+        gram_ref, rhs_ref = _ref_gram_rhs(codes, v, cs, cb, k)
+    else:
+        u = rng.normal(size=(r, k)).astype(np.float32)
+        gram_t, rhs_t = jax.jit(
+            lambda a, b: dense8_gram_rhs_cols(a, b, cs, cb, interpret=INTERP)
+        )(jnp.asarray(codes), jnp.asarray(np.ascontiguousarray(u.T)))
+        gram, rhs = np.asarray(gram_t).T, np.asarray(rhs_t).T
+        g, rh = _ref_gram_rhs(codes.T, u, cs, cb, k)
+        gram_ref, rhs_ref = g, rh
+    np.testing.assert_allclose(np.asarray(gram), gram_ref, rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rhs), rhs_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_tri_selectors_build_packed_triangle():
+    k = 16
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(5, k)).astype(np.float32)
+    sel_i, sel_j = tri_selectors(k, np.float32)
+    tri_i, tri_j = tri_index_pairs(k)
+    np.testing.assert_allclose(
+        (v @ sel_i) * (v @ sel_j), v[:, tri_i] * v[:, tri_j]
+    )
+
+
+# -- end-to-end -------------------------------------------------------------
+
+def _run(train, test, impl, nsims=6, **kw):
+    cfg = Config(
+        num_latent=16, nsims=nsims, burnin=2, gram_impl=impl,
+        n_devices=1, **kw,
+    )
+    s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    rmse_avg = s.run()
+    return s, rmse_avg
+
+
+def test_trajectory_matches_dense():
+    """f32 CPU: the coded path decodes values exactly, so the trajectory is
+    bit-identical to the uncoded dense path."""
+    train, test = synth_movielens(
+        n_users=300, n_movies=200, n_ratings=5000, seed=3
+    )
+    s_d, r_d = _run(train, test, "dense")
+    s_8, r_8 = _run(train, test, "dense8")
+    assert s_8.users.impl == "dense8" and s_8.movies.impl == "dense8"
+    assert s_d.users.impl == "dense"
+    assert r_8 == pytest.approx(r_d, abs=1e-6)
+    assert s_8.rmse == pytest.approx(s_d.rmse, abs=1e-6)
+
+
+def test_dense8_with_aggregation(tmp_path):
+    train, test = synth_movielens(
+        n_users=200, n_movies=150, n_ratings=3000, seed=4
+    )
+    s, rmse_avg = _run(
+        train, test, "dense8", nsims=8, output_dir=str(tmp_path)
+    )
+    assert np.isfinite(rmse_avg)
+    assert (tmp_path / "U-mu.ddm").exists()
+    assert (tmp_path / "V-Lambda.ddm").exists()
+
+
+def test_forced_dense8_rejects_continuous_ratings():
+    train, test = synth_movielens(
+        n_users=100, n_movies=80, n_ratings=1500, seed=5
+    )
+    train = train.copy()
+    train.data = train.data + np.random.default_rng(0).normal(
+        0, 0.01, train.nnz
+    )
+    with pytest.raises(ValueError, match="dense8"):
+        _run(train, test, "dense8")
+
+
+def test_dense8_with_prop_posterior_falls_back(tmp_path):
+    """A side with a propagated posterior keeps the generic path; the other
+    side may still use dense8."""
+    train, test = synth_movielens(
+        n_users=150, n_movies=100, n_ratings=2500, seed=6
+    )
+    # enough post-burnin samples (> K) that the finalized per-item
+    # precision (inverse sample covariance) is well-defined
+    s0, _ = _run(train, test, "auto", nsims=25, output_dir=str(tmp_path))
+    mu = tmp_path / "U-mu.ddm"
+    lam = tmp_path / "U-Lambda.ddm"
+    cfg = Config(
+        num_latent=16, nsims=4, burnin=1, gram_impl="dense8",
+        n_devices=1, prop_u=f"{mu},{lam}",
+    )
+    s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    rmse_avg = s.run()
+    assert np.isfinite(rmse_avg)
+    assert s.users.impl != "dense8"       # prop side fell back
+    assert s.movies.impl == "dense8"      # other side kept the coded path
