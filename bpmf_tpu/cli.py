@@ -66,6 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", default="auto",
                    choices=["auto", "xla", "vpu", "pallas", "smart", "unrolled"],
                    help="batched Cholesky+solve backend (auto: vpu on TPU)")
+    p.add_argument("--gram-impl", default="auto",
+                   choices=["auto", "dense", "dense8", "bucketed"],
+                   help="Gram accumulation layout (auto picks per side: "
+                        "bf16 dense adjacency while it fits, int8 "
+                        "dense-stream for huge grid-quantizable ratings, "
+                        "degree-bucketed CSR otherwise)")
+    p.add_argument("--reduce-chunked", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="reduce-mode stat exchange granularity: 'on' = "
+                        "per-destination-shard loop with O(N/D K^2) peak "
+                        "memory per device")
     p.add_argument("--checkpoint", default="", metavar="FILE",
                    help="save full sampler state to FILE (.npz); with "
                         "--checkpoint-freq N also every N iterations "
@@ -103,6 +114,8 @@ def config_from_args(args) -> Config:
         profile=args.profile,
         chunk=args.chunk,
         solver=args.solver,
+        gram_impl=args.gram_impl,
+        reduce_chunked=args.reduce_chunked,
         checkpoint_path=args.checkpoint,
         checkpoint_freq=args.checkpoint_freq,
         resume=args.resume,

@@ -67,6 +67,14 @@ class Config:
                                   # shared by both sweeps (9.6 GB at ml-25M
                                   # on a 16 GB-HBM chip)
     strict_reference: bool = True # keep reference quirks (see ops/update.py)
+    reduce_chunked: str = "auto"  # reduce-mode stat exchange granularity:
+                                  # 'off' = one [padded_num,K,K] buffer +
+                                  # psum_scatter (fast, O(global N K^2)/dev),
+                                  # 'on' = per-destination-shard psum loop
+                                  # (O(N/D K^2)/dev peak, 2x comm), 'auto' =
+                                  # 'on' when the full buffer exceeds
+                                  # reduce_chunk_limit_bytes per device
+    reduce_chunk_limit_bytes: int = 512 << 20
     ablate: str = ""              # perf-debug: skip sweep phases to isolate
                                   # their cost; comma-separated subset of
                                   # nogather,nogram,nomatmul,nosolve,nopredict
@@ -94,6 +102,8 @@ class Config:
             raise ValueError(f"bad ablate {self.ablate!r}")
         if self.fuse_dense not in ("auto", "on", "off"):
             raise ValueError(f"bad fuse_dense {self.fuse_dense!r}")
+        if self.reduce_chunked not in ("auto", "on", "off"):
+            raise ValueError(f"bad reduce_chunked {self.reduce_chunked!r}")
 
     def resolve_solver(self, backend: str) -> str:
         """'smart' picks per batch size (measured on v5e, K=32): pure-XLA

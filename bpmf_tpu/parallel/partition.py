@@ -34,7 +34,13 @@ import scipy.sparse as sp
 
 from bpmf_tpu.sparse import Bucket, bucketize, pad_count
 
-__all__ = ["assign_items", "GatherLayout", "ReduceLayout", "stack_buckets"]
+__all__ = [
+    "assign_items",
+    "GatherLayout",
+    "ReduceLayout",
+    "ReduceLayoutChunked",
+    "stack_buckets",
+]
 
 
 def assign_items(degrees: np.ndarray, n_devices: int, balance: bool = True):
@@ -281,6 +287,82 @@ class ReduceLayout:
 
     buckets: list[Bucket]  # stacked, leading dim D
     splits: tuple
+
+
+@dataclasses.dataclass
+class ReduceLayoutChunked:
+    """Memory-scaling variant of :class:`ReduceLayout`: edges are grouped by
+    the DESTINATION shard of this side's items, so the sweep accumulates one
+    [local_pad, K, K] partial per destination device instead of a
+    [padded_num, K, K] buffer (O(global) per device — 667 MB/device at
+    ml-25M users K=32, impossible at 10M-item sides).  The reference's
+    REDUCE mode has the same owner-slice structure (c++/mpi_reduce.h:29-45
+    reduces one rank's slice at a time).
+
+    ``per_dest[d']`` holds the stacked buckets (leading axis = source
+    device) whose items live on destination shard d'; bucket ``item_ids``
+    are LOCAL slots on d'."""
+
+    per_dest: list          # [D] of (buckets list, splits tuple)
+
+
+def build_reduce_layout_chunked(
+    m_csc: sp.csc_matrix,
+    this_maps: SideMaps,
+    other_ids_per_dev: list[np.ndarray],
+    max_bucket_width: int = 4096,
+    growth: int = 4,
+) -> ReduceLayoutChunked:
+    """m_csc: [num_other, num_this].  For each destination shard d' of this
+    side, bucketize the edges (other-owner device x d'-owned columns); slot
+    indices are d'-local, noise ids stay global."""
+    num = m_csc.shape[1]
+    local_pad = this_maps.local_pad
+    per_dest = []
+    for ids_dst in this_maps.ids_per_dev:
+        if len(ids_dst) == 0:
+            # a destination shard can own zero items (fewer items than
+            # devices); its chunk contributes no buckets at all
+            per_dest.append(([], ()))
+            continue
+        m_dest = m_csc[:, ids_dst].tocsc()  # columns renumbered 0..len-1
+        per_dev: list[list[Bucket]] = []
+        for ids_v in other_ids_per_dev:
+            m_local = m_dest[ids_v, :].tocsc()
+            cols = np.flatnonzero(np.diff(m_local.indptr) > 0).astype(np.int32)
+            if len(cols) == 0:
+                cols = np.asarray([0], np.int32)
+            side = bucketize(
+                m_local, cols, scratch_id=-1,
+                max_bucket_width=max_bucket_width, growth=growth,
+            )
+            bs = []
+            for b in side.buckets:
+                real = b.slot_valid > 0
+                # restricted column index IS the local slot on d' (slots
+                # are assigned in ids order by make_maps); padding slots
+                # aim at the last local slot, which is always dead
+                # padding slots carry scratch_id=-1; clip before the fancy
+                # index (the value is masked out by `real` anyway)
+                safe = np.clip(np.abs(b.orig_ids), 0, len(ids_dst) - 1)
+                item_ids = np.where(real, np.abs(b.item_ids), local_pad - 1)
+                orig_ids = np.where(real, ids_dst[safe], num)
+                bs.append(
+                    Bucket(
+                        nbr=b.nbr,
+                        val=b.val,
+                        mask=b.mask,
+                        row_slot=b.row_slot,
+                        item_ids=item_ids.astype(np.int32),
+                        orig_ids=orig_ids.astype(np.int32),
+                        slot_valid=b.slot_valid,
+                        split=b.split,
+                    )
+                )
+            per_dev.append(bs)
+        scratch_ids = [local_pad - 1] * len(other_ids_per_dev)
+        per_dest.append(stack_buckets(per_dev, scratch_ids, orig_scratch=num))
+    return ReduceLayoutChunked(per_dest=per_dest)
 
 
 def build_reduce_layout(

@@ -456,6 +456,171 @@ def dense_half_sweep_fused(
     )
 
 
+def reduce_half_sweep_chunked(
+    mesh: Mesh,
+    state: SideState,
+    data_per_dest,              # [D] of SideData: dest-grouped buckets
+    other_items: jax.Array,     # [D*local_pad_other, K] sharded — NOT gathered
+    key: jax.Array,
+    it: jax.Array,
+    *,
+    num: int,
+    local_pad: int,             # per-device padded item count of THIS side
+    splits_per_dest,            # [D] of per-bucket split flags (static)
+    local_orig: jax.Array,      # [D, local_pad]
+    local_valid: jax.Array,     # [D, local_pad]
+    mean_rating: jax.Array,
+    alpha: float,
+    burnin: int,
+    diagonal_only: bool,
+    strict_reference: bool,
+    noise_scale: float,
+    solver: str = "unrolled",
+    matmul_dtype: str = "float32",
+    ablate: str = "",
+) -> SideState:
+    """Statistic-exchange half-sweep with O(local_pad * K^2) peak memory.
+
+    :func:`reduce_half_sweep` scatters every device's partial stats into a
+    [padded_num, K, K] buffer before one psum_scatter — O(global N * K^2)
+    PER DEVICE, which stops scaling exactly where REDUCE mode is needed
+    (667 MB/device at ml-25M users K=32; the reference reduces owner
+    slices instead, c++/mpi_reduce.h:29-45).  Here edges are pre-grouped by
+    destination shard (partition.build_reduce_layout_chunked) and the loop
+    goes one destination at a time: accumulate a [local_pad, K, K] partial,
+    psum it, and only the owner keeps the result.  Comm volume is 2x the
+    single psum_scatter (a psum is reduce_scatter + all_gather), traded for
+    a 1/D peak-memory footprint."""
+    dtype = other_items.dtype
+    k = other_items.shape[-1]
+    n_dev = mesh.devices.size
+    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    side_key = jax.random.fold_in(key, 1)
+
+    has_aggr = state.aggr_mu is not None
+    has_prop = data_per_dest[0].prop_mu is not None
+
+    def body(aggr_mu_l, aggr_prod_l, prop_mu_l, prop_lambda_l,
+             other_l, local_orig_l, local_valid_l, *flat):
+        local_orig_l = local_orig_l[0]
+        local_valid_l = local_valid_l[0]
+        me = lax.axis_index(AXIS)
+
+        gram_l = jnp.zeros((local_pad, k, k), dtype)
+        rhs_l = jnp.zeros((local_pad, k), dtype)
+        pos = 0
+        for dest in range(n_dev):
+            splits = splits_per_dest[dest]
+            n_b = len(splits)
+            bflat = flat[pos : pos + n_b * 7]
+            pos += n_b * 7
+            g_part = jnp.zeros((local_pad, k, k), dtype)
+            r_part = jnp.zeros((local_pad, k), dtype)
+            for j, split in enumerate(splits):
+                b = _take0(BucketDev(*bflat[j * 7 : (j + 1) * 7]))
+                n_slots = b.item_ids.shape[0]
+                g, r = gram_rhs(
+                    b, other_l, mean_rating, alpha, split=split,
+                    n_slots=n_slots,
+                    gather_dtype=(
+                        jnp.bfloat16 if matmul_dtype == "bfloat16" else None
+                    ),
+                    ablate=ablate,
+                )
+                g_part = g_part.at[b.item_ids].add(
+                    g * b.slot_valid[:, None, None]
+                )
+                r_part = r_part.at[b.item_ids].add(r * b.slot_valid[:, None])
+            # per-owner-rank MPI_Reduce (mpi_reduce.h:29-45): sum across
+            # devices, owner keeps its slice
+            g_sum = lax.psum(g_part, AXIS)
+            r_sum = lax.psum(r_part, AXIS)
+            keep = me == dest
+            gram_l = jnp.where(keep, g_sum, gram_l)
+            rhs_l = jnp.where(keep, r_sum, rhs_l)
+
+        precision, full_rhs = posterior_precision_rhs(
+            gram_l,
+            rhs_l,
+            jnp.arange(local_pad),
+            hp,
+            alpha,
+            prop_mu=prop_mu_l,
+            prop_lambda=prop_lambda_l,
+            diagonal_only=diagonal_only,
+            strict_reference=strict_reference,
+        )
+        noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
+        if noise_scale != 1.0:
+            noise = noise * noise_scale
+        u = get_solver(solver)(precision, full_rhs, noise)
+
+        uv = u * local_valid_l[:, None]
+        s = lax.psum(uv.sum(axis=0), AXIS)
+        prod = lax.psum(
+            jnp.einsum("sk,sl->kl", uv, u, preferred_element_type=dtype), AXIS
+        )
+        norm = lax.psum(jnp.vdot(uv, u), AXIS)
+        aggr_on = jnp.asarray(it >= burnin, dtype)
+        if aggr_mu_l is not None:
+            aggr_mu_l = aggr_mu_l + uv * aggr_on
+            aggr_prod_l = aggr_prod_l + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+        return u, aggr_mu_l, aggr_prod_l, s, prod, norm
+
+    aggr_spec = P(AXIS, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    prop_mu_spec = P(AXIS, None) if has_prop else P()
+    prop_lam_spec = P(AXIS, None, None) if has_prop else P()
+    bspecs = _bucket_specs()
+    in_specs = (
+        aggr_spec,
+        aggr_prod_spec,
+        prop_mu_spec,
+        prop_lam_spec,
+        P(AXIS, None),            # other items (stays sharded)
+        P(AXIS, None),            # local_orig
+        P(AXIS, None),            # local_valid
+    ) + tuple(
+        s
+        for splits in splits_per_dest
+        for _ in splits
+        for s in bspecs
+    )
+    out_specs = (
+        P(AXIS, None),
+        aggr_spec,
+        aggr_prod_spec,
+        P(),
+        P(),
+        P(),
+    )
+
+    sd0 = data_per_dest[0]
+    buckets_flat = tuple(
+        x for data in data_per_dest for b in data.buckets for x in b
+    )
+    items, aggr_mu, aggr_prod, s, prod, norm = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(
+        state.aggr_mu,
+        state.aggr_prod,
+        sd0.prop_mu,
+        sd0.prop_lambda,
+        other_items,
+        local_orig,
+        local_valid,
+        *buckets_flat,
+    )
+
+    n_f = jnp.asarray(num, dtype)
+    cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
+    return SideState(
+        items=items, hp=hp, sum=s, cov=cov, norm=norm,
+        aggr_mu=aggr_mu, aggr_prod=aggr_prod,
+    )
+
+
 def dense8_half_sweep(
     state: SideState,
     codes: jax.Array,          # [users_pad, movies_pad] int8 rating codes

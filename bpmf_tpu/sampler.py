@@ -47,6 +47,7 @@ from bpmf_tpu.parallel.spmd import (
     dense_half_sweep_fused,
     gather_half_sweep,
     reduce_half_sweep,
+    reduce_half_sweep_chunked,
 )
 from bpmf_tpu.utils.counters import Counters, tick
 
@@ -65,6 +66,8 @@ class Side:
         self.maps = part.make_maps(ids, self.num)
         self.gather: Optional[part.GatherLayout] = None
         self.reduce: Optional[part.ReduceLayout] = None
+        self.reduce_chunked: Optional[part.ReduceLayoutChunked] = None
+        self.chunked_splits: tuple = ()
         self.dense: Optional[np.ndarray] = None        # [D, local_pad, other_pad]
         self.impl: str = "bucketed"
         self.prop_mu: Optional[np.ndarray] = None      # [num, K]
@@ -137,7 +140,20 @@ class Side:
             prop_lambda=prop_lambda,
         )
         reduce_data = None
-        if mode == "reduce" and self.reduce is not None:
+        if mode == "reduce" and self.reduce_chunked is not None:
+            # list of per-destination SideData; prop rides on the first
+            self.chunked_splits = tuple(
+                splits for _, splits in self.reduce_chunked.per_dest
+            )
+            reduce_data = [
+                SideData(
+                    buckets=self._buckets_dev(buckets, dtype, shard),
+                    prop_mu=prop_mu if d == 0 else None,
+                    prop_lambda=prop_lambda if d == 0 else None,
+                )
+                for d, (buckets, _) in enumerate(self.reduce_chunked.per_dest)
+            ]
+        elif mode == "reduce" and self.reduce is not None:
             reduce_data = SideData(
                 buckets=self._buckets_dev(self.reduce.buckets, dtype, shard),
                 prop_mu=prop_mu,
@@ -331,11 +347,26 @@ class BPMF:
                         other.maps.orig_to_padded, other.maps.padded_num,
                     )
                 elif self.mode == "reduce":
-                    side.reduce = part.build_reduce_layout(
-                        side.m, side.maps.orig_to_padded,
-                        side.maps.padded_num, other.maps.ids_per_dev,
-                        cfg.max_bucket_width, cfg.bucket_growth,
+                    full_buf = (
+                        side.maps.padded_num * cfg.num_latent ** 2
+                        * (8 if cfg.dtype == "float64" else 4)
                     )
+                    chunked = cfg.reduce_chunked == "on" or (
+                        cfg.reduce_chunked == "auto"
+                        and self.n_devices > 1
+                        and full_buf > cfg.reduce_chunk_limit_bytes
+                    )
+                    if chunked:
+                        side.reduce_chunked = part.build_reduce_layout_chunked(
+                            side.m, side.maps, other.maps.ids_per_dev,
+                            cfg.max_bucket_width, cfg.bucket_growth,
+                        )
+                    else:
+                        side.reduce = part.build_reduce_layout(
+                            side.m, side.maps.orig_to_padded,
+                            side.maps.padded_num, other.maps.ids_per_dev,
+                            cfg.max_bucket_width, cfg.bucket_growth,
+                        )
                 else:
                     side.gather = part.build_gather_layout(
                         side.m, side.maps,
@@ -543,6 +574,16 @@ class BPMF:
                     local_valid=aux["local_valid"],
                     **kw,
                 )
+            if mode == "reduce" and side.reduce_chunked is not None:
+                return reduce_half_sweep_chunked(
+                    mesh, state, rdata, other_items, key, it,
+                    num=side.num,
+                    local_pad=side.maps.local_pad,
+                    splits_per_dest=side.chunked_splits,
+                    local_orig=aux["local_orig"],
+                    local_valid=aux["local_valid"],
+                    **common,
+                )
             if mode == "reduce":
                 return reduce_half_sweep(
                     mesh, state, rdata, other_items, key, it,
@@ -696,6 +737,15 @@ class BPMF:
                     f"gram layout {side.name}: dense adjacency "
                     f"{d}x{lp}x{opn} x2 blocks "
                     f"({2 * d * lp * opn * nbytes / 1e6:.0f} MB {self.matmul_dtype})"
+                )
+                continue
+            if side.reduce_chunked is not None:
+                n_b = sum(len(s) for s in side.chunked_splits)
+                self._log(
+                    f"gram layout {side.name}: reduce-chunked, "
+                    f"{len(side.chunked_splits)} destination shards, "
+                    f"{n_b} buckets (peak stat buffer "
+                    f"{side.maps.local_pad}x{cfg.num_latent}^2 per device)"
                 )
                 continue
             layout = side.reduce if self.mode == "reduce" else side.gather

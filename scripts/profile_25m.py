@@ -50,17 +50,38 @@ def get_data():
 
 
 def timed(name, fn, *args):
-    """jit(scan of N_STEPS chained calls); report per-step ms."""
+    """jit(scan of N_STEPS chained calls); report per-step ms.
+
+    The timed call uses PERTURBED float arguments: the axon tunnel caches
+    the result of an identical (executable, args) dispatch, so re-timing
+    the warmup call measures ~0."""
     f = jax.jit(fn)
-    out = jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(f(*args))
-    dt = time.perf_counter() - t0
-    print(f"{name}: {dt / N_STEPS * 1e3:8.2f} ms/step", flush=True)
-    return out
+    jax.block_until_ready(f(*args))  # compile + first run
+
+    def perturb(a, i):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a * (1.0 + 1e-6 * (i + 1))
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.unsignedinteger):
+            return a + (i + 1)  # PRNG keys: any distinct key works
+        return a
+
+    best = float("inf")
+    for rep in range(2):
+        args2 = [perturb(a, rep) for a in args]
+        for a in args2:
+            jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*args2))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {best / N_STEPS * 1e3:8.2f} ms/step", flush=True)
 
 
 def main():
+    only = set((sys.argv[1] if len(sys.argv) > 1 else "").split(",")) - {""}
+
+    def want(name):
+        return not only or name in only
+
     codes_np = get_data()
     rows, cols = codes_np.shape
     k, t_tri = 32, 640
@@ -79,21 +100,25 @@ def main():
     u0 = jnp.asarray(rng.normal(0, 0.3, size=(rows, k)).astype(np.float32))
     cs, cb = 0.5, -1.5
 
-    # 1. rows kernel (users sweep gram+rhs)
-    def rows_scan(v):
+    # 1. rows kernel (users sweep gram+rhs).  codes is an ARGUMENT, not a
+    # closure capture — captured device arrays become 9.67 GB jaxpr
+    # constants and lowering never finishes.
+    def rows_scan(a, v):
         def body(c, _):
-            g, r = dense8_gram_rhs_rows(codes, c.astype(jnp.bfloat16), cs, cb)
+            g, r = dense8_gram_rhs_rows(a, c.astype(jnp.bfloat16), cs, cb)
             return c * (1.0 + 1e-30 * g[0, 0]), None
         return lax.scan(body, v, None, length=N_STEPS)[0]
-    timed("rows kernel (gram+rhs)", rows_scan, v0)
+    if want("rows"):
+        timed("rows kernel (gram+rhs)", rows_scan, codes, v0)
 
     # 2. cols kernel
-    def cols_scan(u):
+    def cols_scan(a, u):
         def body(c, _):
-            g, r = dense8_gram_rhs_cols(codes, c.T.astype(jnp.bfloat16), cs, cb)
+            g, r = dense8_gram_rhs_cols(a, c.T.astype(jnp.bfloat16), cs, cb)
             return c * (1.0 + 1e-30 * g[0, 0]), None
         return lax.scan(body, u, None, length=N_STEPS)[0]
-    timed("cols kernel (gram+rhs)", cols_scan, u0)
+    if want("cols"):
+        timed("cols kernel (gram+rhs)", cols_scan, codes, u0)
 
     # 3. the [R, T] -> [T, R] f32 transpose of the rows-side gram
     g0 = jnp.asarray(rng.normal(size=(rows, t_tri)).astype(np.float32))
@@ -102,7 +127,8 @@ def main():
             gt = c.T
             return c * (1.0 + 1e-30 * gt[0, 0]), None
         return lax.scan(body, g, None, length=N_STEPS)[0]
-    timed("gram transpose [R,T]->[T,R]", transpose_scan, g0)
+    if want("transpose"):
+        timed("gram transpose [R,T]->[T,R]", transpose_scan, g0)
 
     # 4. tri solver on the users-side batch
     gt0 = jnp.abs(jnp.asarray(rng.normal(size=(t_tri, rows)).astype(np.float32)))
@@ -115,7 +141,8 @@ def main():
             u = tri_combine_solve_sample(gt0 * 1e-6, lam, c, c, 2.0)
             return c * (1.0 + 1e-30 * u[0, 0]), None
         return lax.scan(body, rhs, None, length=N_STEPS)[0]
-    timed("tri solve (users batch)", solve_scan, rhs0)
+    if want("solve"):
+        timed("tri solve (users batch)", solve_scan, rhs0)
 
     # 5. eval / predict on the 2.5M test entries
     tu = jnp.asarray(np.load(os.path.join(CACHE, "tuser.npy")))
@@ -131,7 +158,8 @@ def main():
                                     mean_rating=jnp.float32(3.5), burnin=2)
             return (est2, uu * (1.0 + 1e-30 * rmse)), None
         return lax.scan(body, (est0, u), jnp.arange(N_STEPS))[0][1]
-    timed("predict (2.5M test nnz)", pred_scan, u0)
+    if want("predict"):
+        timed("predict (2.5M test nnz)", pred_scan, u0)
 
     # 6. noise table (threefry for every item)
     key = jax.random.PRNGKey(0)
@@ -140,7 +168,8 @@ def main():
             n = noise_table(c, rows, k, jnp.float32)
             return jax.random.fold_in(c, jnp.int32(n[0, 0] * 1e-30)), None
         return lax.scan(body, kk, None, length=N_STEPS)[0]
-    timed("noise table (users)", noise_scan, key)
+    if want("noise"):
+        timed("noise table (users)", noise_scan, key)
 
 
 if __name__ == "__main__":

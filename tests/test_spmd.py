@@ -166,3 +166,50 @@ def test_fused_dense_matches_plain(data):
         assert abs(r0 - rf) < 1e-4
         np.testing.assert_allclose(u0, uf, rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(v0, vf, rtol=2e-3, atol=2e-3)
+
+
+def test_reduce_chunked_matches_unchunked(data):
+    """The O(N/D * K^2)-memory chunked statistic exchange (per-destination
+    psum loop, spmd.reduce_half_sweep_chunked) produces the same trajectory
+    as the single-psum_scatter reduce path and as gather."""
+    train, test = data
+    ru, uu, vu = _run(
+        train, test, n_devices=8, comm_mode="reduce", reduce_chunked="off"
+    )
+    rc, uc, vc = _run(
+        train, test, n_devices=8, comm_mode="reduce", reduce_chunked="on"
+    )
+    assert abs(ru - rc) < 1e-4
+    np.testing.assert_allclose(uu, uc, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(vu, vc, rtol=2e-3, atol=2e-3)
+
+
+def test_reduce_chunked_never_materializes_global_buffer(data):
+    """The compiled chunked program must not contain any
+    [padded_num, K, K] array — the whole point is O(local_pad * K^2) peak
+    (VERDICT round 1: the unchunked buffer is 667 MB/device at ml-25M)."""
+    train, test = data
+    cfg = Config(
+        num_latent=6, nsims=2, burnin=1, n_devices=8,
+        comm_mode="reduce", reduce_chunked="on",
+    )
+    s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    s.setup()
+    import jax.numpy as jnp
+
+    jaxpr = jax.make_jaxpr(
+        lambda *a: s._iter_impl(*a)
+    )(
+        s.state_m, s.state_u, s.est,
+        s.movies_gdata, s.movies_rdata, s.users_gdata, s.users_rdata,
+        s.ev, s.key, jnp.asarray(0, jnp.int32),
+        s._aux["movs"]["dense"], s._aux["users"]["dense"], s._codes,
+    )
+    txt = str(jaxpr)
+    k = cfg.num_latent
+    for side in (s.movies, s.users):
+        pn, lp = side.maps.padded_num, side.maps.local_pad
+        assert pn > lp  # 8 devices -> global is bigger than a shard
+        assert f"f32[{pn},{k},{k}]" not in txt, (
+            f"global [{pn},{k},{k}] stat buffer found in chunked program"
+        )
