@@ -65,13 +65,19 @@ def timed(name, fn, *args):
             return a + (i + 1)  # PRNG keys: any distinct key works
         return a
 
+    def fetch(o):
+        # a real VALUE fetch: block_until_ready over the axon tunnel
+        # returns before remote execution finishes, device_get does not
+        leaves = jax.tree_util.tree_leaves(o)
+        return float(np.asarray(jax.device_get(leaves[0])).ravel()[0])
+
     best = float("inf")
     for rep in range(2):
         args2 = [perturb(a, rep) for a in args]
         for a in args2:
             jax.block_until_ready(a)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args2))
+        fetch(f(*args2))
         best = min(best, time.perf_counter() - t0)
     print(f"{name}: {best / N_STEPS * 1e3:8.2f} ms/step", flush=True)
 
