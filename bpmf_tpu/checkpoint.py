@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from bpmf_tpu.models.bpmf import EvalState, SideState
 from bpmf_tpu.ops.mvnormal import HyperParams
+from bpmf_tpu.parallel.mesh import to_host
 
 FORMAT_VERSION = 1
 
@@ -45,22 +46,24 @@ def _side_to_host(side, state: SideState) -> dict:
     """Fetch one side's state in ORIGINAL item order."""
     idx = side.maps.orig_to_padded
     out = {
-        "items": np.asarray(state.items, np.float64)[idx],
-        "hp.mu": np.asarray(state.hp.mu, np.float64),
-        "hp.lambda_f": np.asarray(state.hp.lambda_f, np.float64),
-        "hp.lambda_l": np.asarray(state.hp.lambda_l, np.float64),
-        "sum": np.asarray(state.sum, np.float64),
-        "cov": np.asarray(state.cov, np.float64),
-        "norm": np.asarray(state.norm, np.float64),
+        "items": to_host(state.items, np.float64)[idx],
+        "hp.mu": to_host(state.hp.mu, np.float64),
+        "hp.lambda_f": to_host(state.hp.lambda_f, np.float64),
+        "hp.lambda_l": to_host(state.hp.lambda_l, np.float64),
+        "sum": to_host(state.sum, np.float64),
+        "cov": to_host(state.cov, np.float64),
+        "norm": to_host(state.norm, np.float64),
     }
     if state.aggr_mu is not None:
-        out["aggr_mu"] = np.asarray(state.aggr_mu, np.float64)[idx]
-        out["aggr_prod"] = np.asarray(state.aggr_prod, np.float64)[idx]
+        out["aggr_mu"] = to_host(state.aggr_mu, np.float64)[idx]
+        out["aggr_prod"] = to_host(state.aggr_prod, np.float64)[idx]
     return out
 
 
 def save(path: str, sampler) -> None:
-    """Write the sampler's full state to ``path`` (.npz)."""
+    """Write the sampler's full state to ``path`` (.npz).  In a
+    multi-process run the host fetches are collective (every process must
+    call save) and only process 0 writes the file."""
     payload = {
         "format_version": FORMAT_VERSION,
         "iter": sampler.iter,
@@ -69,8 +72,8 @@ def save(path: str, sampler) -> None:
         "nsims": sampler.cfg.nsims,
         "burnin": sampler.cfg.burnin,
         "dataset_hash": dataset_hash(sampler),
-        "eval.pavg": np.asarray(sampler.est.pavg, np.float64),
-        "eval.pm2": np.asarray(sampler.est.pm2, np.float64),
+        "eval.pavg": to_host(sampler.est.pavg, np.float64),
+        "eval.pm2": to_host(sampler.est.pm2, np.float64),
         "rmse": sampler.rmse,
         "rmse_avg": sampler.rmse_avg,
     }
@@ -80,7 +83,10 @@ def save(path: str, sampler) -> None:
     ):
         for k, v in _side_to_host(side, state).items():
             payload[f"{name}.{k}"] = v
-    np.savez_compressed(path, **payload)
+    import jax
+
+    if jax.process_index() == 0:
+        np.savez_compressed(path, **payload)
 
 
 def _side_from_host(sampler, side, data: dict, prefix: str, aggregate: bool) -> SideState:

@@ -88,6 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["", "nogather", "nogram", "nomatmul", "nosolve",
                             "nopredict"],
                    help="perf-debug: skip a sweep phase to isolate its cost")
+    p.add_argument("--dist", default="", metavar="HOST:PORT,NPROC,PID",
+                   help="join a multi-host run: coordinator address, total "
+                        "process count, this process's id (the mpirun-rank "
+                        "analog, c++/mpi_common.h:9-17); also settable via "
+                        "BPMF_DIST")
+    p.add_argument("--platform", default="", metavar="NAME",
+                   help="force the jax platform (e.g. cpu); also settable "
+                        "via BPMF_PLATFORM")
     return p
 
 
@@ -131,10 +139,28 @@ def main(argv=None) -> int:
         return 1
     cfg = config_from_args(args)
 
+    # multi-host init must precede the first jax backend use
+    import os
+
+    if args.dist:
+        os.environ["BPMF_DIST"] = args.dist
+    if args.platform:
+        os.environ["BPMF_PLATFORM"] = args.platform
+    from bpmf_tpu.parallel.mesh import initialize_from_env
+
+    initialize_from_env()
+    import jax
+
+    rank = jax.process_index()
+
     out = sys.stdout
     if cfg.redirect:
-        # per-rank log file (c++/bpmf.cpp:111-117); single SPMD program -> rank 0
-        out = open("bpmf_0.out", "w")
+        # per-rank log file (c++/bpmf.cpp:111-117)
+        out = open(f"bpmf_{rank}.out", "w")
+    elif rank != 0:
+        # one SPMD program: every process computes the same metrics;
+        # only rank 0 speaks (matching the reference's "0:" log prefix)
+        out = open(os.devnull, "w")
 
     from bpmf_tpu.sampler import BPMF  # deferred: jax import is slow
 
@@ -148,7 +174,7 @@ def main(argv=None) -> int:
         print(f"bpmf: error: {e}", file=sys.stderr)
         return 1
     finally:
-        if cfg.redirect:
+        if out is not sys.stdout:
             out.close()
     return 0
 

@@ -39,7 +39,7 @@ from bpmf_tpu.models.bpmf import (
 from bpmf_tpu.ops.mvnormal import HyperParams
 from bpmf_tpu.ops.update import BucketDev
 from bpmf_tpu.parallel import partition as part
-from bpmf_tpu.parallel.mesh import make_mesh
+from bpmf_tpu.parallel.mesh import make_mesh, to_host
 from bpmf_tpu.parallel.spmd import (
     AXIS,
     dense8_half_sweep,
@@ -533,15 +533,19 @@ class BPMF:
             ablate=cfg.ablate,
         )
 
-        def sweep(state, gdata, rdata, dense, other_items, key, it, side: Side,
-                  codes=None):
+        def sweep(state, gdata, rdata, dense, maps, other_items, key, it,
+                  side: Side, codes=None):
+            # maps = (local_orig, local_valid): passed as jit arguments, not
+            # closures — closed-over sharded arrays are rejected in
+            # multi-process runs (they span non-addressable devices)
+            local_orig, local_valid = maps
             aux = self._aux[side.name]
             if side.impl == "dense8":
                 return dense8_half_sweep(
                     state, codes, other_items, key, it,
                     num=side.num,
-                    local_orig=aux["local_orig"],
-                    local_valid=aux["local_valid"],
+                    local_orig=local_orig,
+                    local_valid=local_valid,
                     alpha=cfg.alpha,
                     burnin=cfg.burnin,
                     noise_scale=1.0,
@@ -555,8 +559,8 @@ class BPMF:
                 return dense_half_sweep_fused(
                     mesh, state, dense[0], dense[1], other_items, key, it,
                     num=side.num,
-                    local_orig=aux["local_orig"],
-                    local_valid=aux["local_valid"],
+                    local_orig=local_orig,
+                    local_valid=local_valid,
                     alpha=cfg.alpha,
                     burnin=cfg.burnin,
                     noise_scale=1.0,
@@ -570,8 +574,8 @@ class BPMF:
                     gdata.prop_mu, gdata.prop_lambda,
                     other_items, key, it,
                     num=side.num,
-                    local_orig=aux["local_orig"],
-                    local_valid=aux["local_valid"],
+                    local_orig=local_orig,
+                    local_valid=local_valid,
                     **kw,
                 )
             if mode == "reduce" and side.reduce_chunked is not None:
@@ -580,8 +584,8 @@ class BPMF:
                     num=side.num,
                     local_pad=side.maps.local_pad,
                     splits_per_dest=side.chunked_splits,
-                    local_orig=aux["local_orig"],
-                    local_valid=aux["local_valid"],
+                    local_orig=local_orig,
+                    local_valid=local_valid,
                     **common,
                 )
             if mode == "reduce":
@@ -589,8 +593,8 @@ class BPMF:
                     mesh, state, rdata, other_items, key, it,
                     num=side.num,
                     padded_num=side.maps.padded_num,
-                    local_orig=aux["local_orig"],
-                    local_valid=aux["local_valid"],
+                    local_orig=local_orig,
+                    local_valid=local_valid,
                     splits=side.reduce.splits,
                     **common,
                 )
@@ -600,14 +604,15 @@ class BPMF:
             )
 
         def _iter(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
-                  ev, key, it, m_dense=None, u_dense=None, codes=None):
+                  ev, key, it, m_dense=None, u_dense=None, codes=None,
+                  m_maps=None, u_maps=None):
             key_it = jax.random.fold_in(key, it)
             state_m = sweep(
-                state_m, m_gdata, m_rdata, m_dense, state_u.items,
+                state_m, m_gdata, m_rdata, m_dense, m_maps, state_u.items,
                 jax.random.fold_in(key_it, 0), it, self.movies, codes=codes,
             )
             state_u = sweep(
-                state_u, u_gdata, u_rdata, u_dense, state_m.items,
+                state_u, u_gdata, u_rdata, u_dense, u_maps, state_m.items,
                 jax.random.fold_in(key_it, 1), it, self.users, codes=codes,
             )
             if "nopredict" in cfg.ablate.split(","):  # perf-debug
@@ -642,12 +647,12 @@ class BPMF:
         iter_impl = self._iter_impl
 
         def chunk(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
-                  ev, key, it0, m_dense, u_dense, codes):
+                  ev, key, it0, m_dense, u_dense, codes, m_maps, u_maps):
             def body(carry, j):
                 sm, su, e = carry
                 sm, su, e, met = iter_impl(
                     sm, su, e, m_gdata, m_rdata, u_gdata, u_rdata,
-                    ev, key, it0 + j, m_dense, u_dense, codes,
+                    ev, key, it0 + j, m_dense, u_dense, codes, m_maps, u_maps,
                 )
                 return (sm, su, e), met
             (sm, su, e), mets = lax.scan(
@@ -670,7 +675,7 @@ class BPMF:
             self.users_gdata, self.users_rdata,
             self.ev, self.key, it0,
             self._aux["movs"]["dense"], self._aux["users"]["dense"],
-            self._codes,
+            self._codes, self._maps_arg("movs"), self._maps_arg("users"),
         )
         self.iter += n
         return mets
@@ -761,6 +766,10 @@ class BPMF:
 
     # -- Gibbs loop --------------------------------------------------------
 
+    def _maps_arg(self, name: str):
+        aux = self._aux[name]
+        return (aux["local_orig"], aux["local_valid"])
+
     def step(self) -> Metrics:
         """One full Gibbs iteration; returns device metrics."""
         self.iter += 1
@@ -779,13 +788,15 @@ class BPMF:
             self._aux["movs"]["dense"],
             self._aux["users"]["dense"],
             self._codes,
+            self._maps_arg("movs"),
+            self._maps_arg("users"),
         )
         return metrics
 
     def items_host(self, side: Side, state: SideState) -> np.ndarray:
         """Items in original order, [num, K] (the bcast+unpermute step,
         c++/bpmf.cpp:217-224)."""
-        arr = np.asarray(state.items, np.float64)
+        arr = to_host(state.items, np.float64)
         return arr[side.maps.orig_to_padded]
 
     def run(self) -> float:
@@ -847,11 +858,17 @@ class BPMF:
                     f"ratings/sec: {ratings_per_sec / 1e6:6.2f}M"
                 )
             if cfg.verbose and cfg.output_dir:
-                # per-iteration model dump (-v, c++/bpmf.cpp:200-209)
+                # per-iteration model dump (-v, c++/bpmf.cpp:200-209);
+                # fetches are collective, writes are process-0-only
                 u = self.items_host(self.users, self.state_u)
                 v = self.items_host(self.movies, self.state_m)
-                write_matrix(os.path.join(cfg.output_dir, f"U-{done}.ddm"), u.T)
-                write_matrix(os.path.join(cfg.output_dir, f"V-{done}.ddm"), v.T)
+                if jax.process_index() == 0:
+                    write_matrix(
+                        os.path.join(cfg.output_dir, f"U-{done}.ddm"), u.T
+                    )
+                    write_matrix(
+                        os.path.join(cfg.output_dir, f"V-{done}.ddm"), v.T
+                    )
             done += n
             if (
                 cfg.checkpoint_path
@@ -913,23 +930,29 @@ class BPMF:
         (c++/bpmf.cpp:221-240)."""
         cfg = self.cfg
         odir = cfg.output_dir
-        os.makedirs(odir, exist_ok=True)
+        # the host fetches below are collective in a multi-process run, so
+        # every process computes; only process 0 touches the filesystem
+        write = jax.process_index() == 0
+        if write:
+            os.makedirs(odir, exist_ok=True)
         shape = self.test.shape
 
-        pavg = np.asarray(self.est.pavg, np.float64)
-        pm2 = np.asarray(self.est.pm2, np.float64)
+        pavg = to_host(self.est.pavg, np.float64)
+        pm2 = to_host(self.est.pm2, np.float64)
         pavg_m = sp.csc_matrix((pavg, (self.t_user, self.t_item)), shape=shape)
         pm2_m = sp.csc_matrix((pm2, (self.t_user, self.t_item)), shape=shape)
-        write_matrix(os.path.join(odir, "Pavg.sdm"), pavg_m)
-        write_matrix(os.path.join(odir, "Pm2.sdm"), pm2_m)
+        if write:
+            write_matrix(os.path.join(odir, "Pavg.sdm"), pavg_m)
+            write_matrix(os.path.join(odir, "Pm2.sdm"), pm2_m)
 
         for prefix, side, state in (
             ("U", self.users, self.state_u),
             ("V", self.movies, self.state_m),
         ):
             mu, lam = self._finalize_mu_lambda(side, state)
-            write_matrix(os.path.join(odir, f"{prefix}-mu.ddm"), mu)
-            write_matrix(os.path.join(odir, f"{prefix}-Lambda.ddm"), lam)
+            if write:
+                write_matrix(os.path.join(odir, f"{prefix}-mu.ddm"), mu)
+                write_matrix(os.path.join(odir, f"{prefix}-Lambda.ddm"), lam)
 
     def _finalize_mu_lambda(self, side: Side, state: SideState):
         """aggr sums -> posterior mean (K x num) and per-item precision
@@ -937,8 +960,8 @@ class BPMF:
         cfg = self.cfg
         nsamples = cfg.nsims - cfg.burnin
         idx = side.maps.orig_to_padded
-        aggr_mu = np.asarray(state.aggr_mu, np.float64)[idx]     # [num, K]
-        aggr_prod = np.asarray(state.aggr_prod, np.float64)[idx]
+        aggr_mu = to_host(state.aggr_mu, np.float64)[idx]        # [num, K]
+        aggr_prod = to_host(state.aggr_prod, np.float64)[idx]
         k = aggr_mu.shape[1]
         outer = np.einsum("nk,nl->nkl", aggr_mu, aggr_mu) / nsamples
         cov = (aggr_prod - outer) / (nsamples - 1)

@@ -204,6 +204,7 @@ def test_reduce_chunked_never_materializes_global_buffer(data):
         s.movies_gdata, s.movies_rdata, s.users_gdata, s.users_rdata,
         s.ev, s.key, jnp.asarray(0, jnp.int32),
         s._aux["movs"]["dense"], s._aux["users"]["dense"], s._codes,
+        s._maps_arg("movs"), s._maps_arg("users"),
     )
     txt = str(jaxpr)
     k = cfg.num_latent
