@@ -259,6 +259,7 @@ def predict(
     *,
     mean_rating: jax.Array,
     burnin: int,
+    gather_dtype=None,
 ) -> tuple[EvalState, jax.Array, jax.Array]:
     """RMSE of the instantaneous sample and the running posterior-mean
     prediction (Welford), Sys::predict (c++/sample.cpp:48-96).
@@ -266,12 +267,20 @@ def predict(
     n resets during burnin exactly as the reference: n = max(0, it - burnin);
     at n==0 the average is overwritten with the current prediction and M2
     resets to 0 (c++/sample.cpp:84-86).
+
+    ``gather_dtype`` (e.g. bf16 on TPU, mirroring the matmul-dtype policy,
+    config.py) halves the HBM traffic of the two test-entry row gathers —
+    the dominant cost of this op; the dot still accumulates in the state
+    dtype.
     """
     n = jnp.maximum(it - burnin, 0)
+    dtype = user_items.dtype
+    if gather_dtype is not None and gather_dtype != dtype:
+        user_items = user_items.astype(gather_dtype)
+        movie_items = movie_items.astype(gather_dtype)
     u = user_items[ev.t_user]    # [nnz_t, K]
     m = movie_items[ev.t_item]   # [nnz_t, K]
-    pred = jnp.sum(u * m, axis=-1) + mean_rating
-    dtype = pred.dtype
+    pred = jnp.sum((u * m).astype(dtype), axis=-1) + mean_rating
 
     delta = pred - est.pavg
     n_f = jnp.asarray(n, dtype)

@@ -16,25 +16,29 @@ inside a tiled Pallas matmul:
 * indicator  ``ind = (code != 0)``                    (built in VMEM)
 * centered   ``cv  = (value - mean) * alpha * ind
              = cs * code + cb * ind``                 (built in VMEM)
-* the packed-lower-triangle outer-product operand
-  ``p[n, t] = v[n, tri_i[t]] * v[n, tri_j[t]]`` is built per tile from
-  the [NB, K] items tile via two constant 0/1 selection matmuls
-  (v @ sel), so it never materializes in HBM either.
 
 Per half-sweep the kernel streams the int8 array ONCE and computes
 
-    gram_tri = ind @ p          # [items, T]  (MXU, f32 accumulation)
-    rhs      = cv  @ v          # [items, K]
+    gram_tri_t = p_t @ ind        # [T, items]  (MXU, f32 accumulation)
+    rhs_t      = v_t @ cv         # [K, items]
 
 — the computeMuLambda contraction (c++/sample.cpp:248-258) as a single
 MXU pass whose HBM traffic is one int8 read of the ratings.  The SAME
-array serves both sides: the users sweep contracts over columns (codes
-tile as matmul LHS, kernel :func:`_row_kernel`), the movies sweep over
-rows (codes tile as matmul RHS, kernel :func:`_col_kernel`) — no stored
-transpose, no per-iteration transposes of the big operand.
+array serves both sides: the users sweep contracts over the column
+(movies) axis, the movies sweep over the row (users) axis — one kernel
+body, two contraction orientations; no stored transpose, no
+per-iteration transposes of the big operand.
 
-Downstream (prior combine + Cholesky + solve + sample) is the existing
-packed-triangle fused kernel (ops/pallas_solve.tri_combine_solve_sample).
+``p_t [T, N]`` is the packed-lower-triangle outer-product operand of the
+FROZEN side (p_t[t, n] = v[n, tri_i[t]] * v[n, tri_j[t]]), precomputed
+ONCE per half-sweep at the XLA level (:func:`packed_tri_t`) — hoisting it
+out of the kernel removes two [*, K] x [K, T] selection matmuls from
+every grid step (~25% of step time measured at ml-25M), at the price of
+streaming p_t tiles from HBM (overlapped by the pipeline; the pass stays
+MXU-bound).  Outputs are batch-LAST ([T, items] / [K, items]) for both
+orientations — exactly what the fused packed-triangle solver
+(ops/pallas_solve.tri_combine_solve_sample) consumes, so no [items, T]
+HBM transpose exists anywhere in the sweep.
 """
 
 from __future__ import annotations
@@ -55,7 +59,7 @@ __all__ = [
     "Quantization",
     "quantize_values",
     "build_code_array",
-    "tri_selectors",
+    "packed_tri_t",
     "dense8_gram_rhs_rows",
     "dense8_gram_rhs_cols",
 ]
@@ -123,18 +127,19 @@ def build_code_array(
     return codes
 
 
-def tri_selectors(k: int, dtype) -> tuple[np.ndarray, np.ndarray]:
-    """Constant 0/1 selection matrices [K, T]: (v @ sel_i) * (v @ sel_j)
-    builds the packed-lower-triangle outer-product operand from a [*, K]
-    items tile with two tiny MXU matmuls (compile-safe, unlike an
-    in-kernel gather)."""
+def packed_tri_t(v_t: jax.Array) -> jax.Array:
+    """[K, N] frozen items (transposed) -> [T, N] packed-lower-triangle
+    outer products, p_t[t, n] = v_t[tri_i[t], n] * v_t[tri_j[t], n], padded
+    with zero rows to the lane-aligned T (tri_offsets)."""
+    k = v_t.shape[0]
     tri_i, tri_j = tri_index_pairs(k)
-    t = len(tri_i)
-    sel_i = np.zeros((k, t), dtype)
-    sel_j = np.zeros((k, t), dtype)
-    sel_i[tri_i, np.arange(t)] = 1
-    sel_j[tri_j, np.arange(t)] = 1
-    return sel_i, sel_j
+    p = jnp.take(v_t, jnp.asarray(tri_i), axis=0) * jnp.take(
+        v_t, jnp.asarray(tri_j), axis=0
+    )
+    _, t_total = tri_offsets(k)
+    if p.shape[0] < t_total:
+        p = jnp.pad(p, ((0, t_total - p.shape[0]), (0, 0)))
+    return p
 
 
 def _pick_block(n: int, prefer: tuple[int, ...] = (1024, 512)) -> int:
@@ -144,154 +149,121 @@ def _pick_block(n: int, prefer: tuple[int, ...] = (1024, 512)) -> int:
     raise ValueError(f"dense8 dimension {n} not a multiple of {BLOCK_MULTIPLE}")
 
 
-def _row_kernel(codes_ref, v_ref, sel_i_ref, sel_j_ref,
-                gram_ref, rhs_ref, *, cs: float, cb: float):
-    """Per grid step (i, n): gram[i] += ind(codes[i,n]) @ p(v[n]),
-    rhs[i] += cv(codes[i,n]) @ v[n].  Output blocks are indexed by i only,
-    so they stay VMEM-resident across the whole n sweep."""
-    n = pl.program_id(1)
+def _blocks(items: int, frozen: int,
+            prefer_items: tuple[int, ...],
+            prefer_frozen: tuple[int, ...]) -> tuple[int, int]:
+    """(item_block, contraction_block); BPMF_D8_BLOCKS=ib,nb overrides (perf
+    tuning knob, read at trace time).  Defaults are the measured best per
+    orientation at ml-25M scale on v5e (scripts/bench_dense8.py sweep)."""
+    import os
 
-    @pl.when(n == 0)
+    env = os.environ.get("BPMF_D8_BLOCKS", "")
+    if env:
+        ib, nb = (int(x) for x in env.split(","))
+        return ib, nb
+    return _pick_block(items, prefer_items), _pick_block(frozen, prefer_frozen)
+
+
+def _kernel(codes_ref, p_t_ref, v_t_ref, gram_ref, rhs_ref,
+            *, cs: float, cb: float, contract_dim: int):
+    """One grid step: accumulate gram_t += p_t @ ind, rhs_t += v_t @ cv.
+
+    ``contract_dim`` is the codes axis being contracted: 1 for the row
+    orientation (items are code ROWS; codes block [IB, NB], p_t/v_t blocks
+    over NB), 0 for the column orientation (items are code COLUMNS; codes
+    block [UB, MB], p_t/v_t blocks over UB).  Output blocks are indexed by
+    the item grid dim only, so they stay VMEM-resident across the whole
+    contraction sweep."""
+    inner = pl.program_id(1)
+
+    @pl.when(inner == 0)
     def _():
         gram_ref[:] = jnp.zeros_like(gram_ref)
         rhs_ref[:] = jnp.zeros_like(rhs_ref)
 
-    v = v_ref[:]                                   # [NB, K] compute dtype
-    md = v.dtype
-    codes = codes_ref[:]                           # [IB, NB] int8
+    md = p_t_ref.dtype
+    codes = codes_ref[:]
     ind = (codes != 0).astype(md)
     cv = codes.astype(md) * md.type(cs) + ind * md.type(cb)
-    # packed-triangle operand from the items tile (two selection matmuls;
-    # MXU accumulators must be 32-bit — multiply in f32, cast once)
-    p = (
-        jnp.dot(v, sel_i_ref[:], preferred_element_type=jnp.float32)
-        * jnp.dot(v, sel_j_ref[:], preferred_element_type=jnp.float32)
-    ).astype(md)                                   # [NB, T]
-    gram_ref[:] += jnp.dot(ind, p, preferred_element_type=jnp.float32)
-    rhs_ref[:] += jnp.dot(cv, v, preferred_element_type=jnp.float32)
+    # contract p_t/v_t dim 1 (the frozen-side axis) against the codes
+    # contraction axis; outputs are batch-last [T, items] / [K, items]
+    dn = (((1,), (contract_dim,)), ((), ()))
+    gram_ref[:] += jax.lax.dot_general(
+        p_t_ref[:], ind, dn, preferred_element_type=jnp.float32
+    )
+    rhs_ref[:] += jax.lax.dot_general(
+        v_t_ref[:], cv, dn, preferred_element_type=jnp.float32
+    )
 
 
-def _col_kernel(codes_ref, v_t_ref, sel_i_ref, sel_j_ref,
-                gram_ref, rhs_ref, *, cs: float, cb: float):
-    """Column-side variant: grid (m, u); codes tile [UB, MB] is the matmul
-    RHS (contraction over rows u — dim 0, the native MXU rhs orientation),
-    outputs are batch-last [T, MB] / [K, MB] (what the fused tri solver
-    wants)."""
-    u = pl.program_id(1)
+def _call(codes, p_t, v_t, cs, cb, *, contract_dim, interpret):
+    r, c = codes.shape
+    t_total, n = p_t.shape
+    k = v_t.shape[0]
+    if contract_dim == 1:          # rows: items = r, frozen = c
+        assert n == c, (n, c)
+        ob, nb = _blocks(r, c, (1024, 512), (1024, 512))
+        grid = (r // ob, c // nb)
+        codes_spec = pl.BlockSpec((ob, nb), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM)
+        out_idx = lambda i, j: (0, i)
+        items = r
+    else:                          # cols: items = c, frozen = r
+        assert n == r, (n, r)
+        ob, nb = _blocks(c, r, (512, 1024), (1024, 512))
+        grid = (c // ob, r // nb)
+        codes_spec = pl.BlockSpec((nb, ob), lambda i, j: (j, i),
+                                  memory_space=pltpu.VMEM)
+        out_idx = lambda i, j: (0, i)
+        items = c
 
-    @pl.when(u == 0)
-    def _():
-        gram_ref[:] = jnp.zeros_like(gram_ref)
-        rhs_ref[:] = jnp.zeros_like(rhs_ref)
-
-    v_t = v_t_ref[:]                               # [K, UB]
-    md = v_t.dtype
-    codes = codes_ref[:]                           # [UB, MB] int8
-    ind = (codes != 0).astype(md)
-    cv = codes.astype(md) * md.type(cs) + ind * md.type(cb)
-    # p_t [T, UB] from the transposed items tile (f32 acc, cast once)
-    p_t = (
-        jax.lax.dot_general(
-            sel_i_ref[:], v_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * jax.lax.dot_general(
-            sel_j_ref[:], v_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    ).astype(md)
-    gram_ref[:] += jnp.dot(p_t, ind, preferred_element_type=jnp.float32)
-    rhs_ref[:] += jnp.dot(v_t, cv, preferred_element_type=jnp.float32)
+    gram_t, rhs_t = pl.pallas_call(
+        functools.partial(_kernel, cs=cs, cb=cb, contract_dim=contract_dim),
+        grid=grid,
+        in_specs=[
+            codes_spec,
+            pl.BlockSpec((t_total, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((t_total, ob), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ob), out_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_total, items), jnp.float32),
+            jax.ShapeDtypeStruct((k, items), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(codes, p_t, v_t)
+    return gram_t, rhs_t
 
 
 def dense8_gram_rhs_rows(
-    codes: jax.Array,      # [R, C] int8 — this side's items are ROWS
-    other_items: jax.Array,  # [C, K] compute/matmul dtype
+    codes: jax.Array,    # [R, C] int8 — this side's items are ROWS
+    p_t: jax.Array,      # [T, C] packed-tri of the frozen side (packed_tri_t)
+    v_t: jax.Array,      # [K, C] frozen items, transposed, matmul dtype
     cs: float,
     cb: float,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """gram [R, T] f32 and rhs [R, K] f32 for the row side (one int8 pass)."""
-    r, c = codes.shape
-    _, k = other_items.shape
-    md = other_items.dtype
-    _, t_total = tri_offsets(k)
-    ib = _pick_block(r)
-    nb = _pick_block(c, prefer=(512,))
-    sel_i, sel_j = tri_selectors(k, np.float32)
-    sel_i = jnp.asarray(sel_i, md)
-    sel_j = jnp.asarray(sel_j, md)
-
-    gram, rhs = pl.pallas_call(
-        functools.partial(_row_kernel, cs=cs, cb=cb),
-        grid=(r // ib, c // nb),
-        in_specs=[
-            pl.BlockSpec((ib, nb), lambda i, n: (i, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, k), lambda i, n: (n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, t_total), lambda i, n: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, t_total), lambda i, n: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((ib, t_total), lambda i, n: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ib, k), lambda i, n: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((r, t_total), jnp.float32),
-            jax.ShapeDtypeStruct((r, k), jnp.float32),
-        ),
-        interpret=interpret,
-    )(codes, other_items, sel_i, sel_j)
-    return gram, rhs
+    """gram_t [T, R] f32 and rhs_t [K, R] f32 for the row side, batch-last
+    (direct input to tri_combine_solve_sample); one int8 pass."""
+    return _call(codes, p_t, v_t, cs, cb, contract_dim=1, interpret=interpret)
 
 
 def dense8_gram_rhs_cols(
-    codes: jax.Array,        # [R, C] int8 — this side's items are COLUMNS
-    other_items_t: jax.Array,  # [K, R] compute/matmul dtype (transposed)
+    codes: jax.Array,    # [R, C] int8 — this side's items are COLUMNS
+    p_t: jax.Array,      # [T, R] packed-tri of the frozen side
+    v_t: jax.Array,      # [K, R] frozen items, transposed, matmul dtype
     cs: float,
     cb: float,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """gram_t [T, C] f32 and rhs_t [K, C] f32 for the column side,
-    batch-last (direct input to tri_combine_solve_sample)."""
-    r, c = codes.shape
-    k = other_items_t.shape[0]
-    md = other_items_t.dtype
-    _, t_total = tri_offsets(k)
-    mb = _pick_block(c)
-    ub = _pick_block(r, prefer=(512,))
-    sel_i, sel_j = tri_selectors(k, np.float32)
-    sel_i = jnp.asarray(sel_i, md)
-    sel_j = jnp.asarray(sel_j, md)
-
-    gram_t, rhs_t = pl.pallas_call(
-        functools.partial(_col_kernel, cs=cs, cb=cb),
-        grid=(c // mb, r // ub),
-        in_specs=[
-            pl.BlockSpec((ub, mb), lambda m, u: (u, m),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, ub), lambda m, u: (0, u),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, t_total), lambda m, u: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, t_total), lambda m, u: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((t_total, mb), lambda m, u: (0, m),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, mb), lambda m, u: (0, m),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((t_total, c), jnp.float32),
-            jax.ShapeDtypeStruct((k, c), jnp.float32),
-        ),
-        interpret=interpret,
-    )(codes, other_items_t, sel_i, sel_j)
-    return gram_t, rhs_t
+    batch-last; one int8 pass."""
+    return _call(codes, p_t, v_t, cs, cb, contract_dim=0, interpret=interpret)

@@ -343,6 +343,7 @@ def dense_half_sweep_fused(
     burnin: int,
     noise_scale: float,
     interpret: bool = False,
+    ablate: str = "",
 ) -> SideState:
     """Dense half-sweep with the packed-triangle fused solve
     (ops/pallas_solve.tri_combine_solve_sample).
@@ -379,28 +380,37 @@ def dense_half_sweep_fused(
 
         other_full = lax.all_gather(other_l, AXIS, tiled=True)  # [N, K]
         v_t = other_full.T                                       # [K, N]
-        # packed lower triangle of the rowwise outer products, [T, N]
-        p_tri_t = (jnp.take(v_t, tri_i, axis=0)
-                   * jnp.take(v_t, tri_j, axis=0)).astype(md)
-        gram_tri_t = jnp.matmul(
-            p_tri_t, a_ind_t_l, preferred_element_type=dtype
-        )                                                        # [T, I]
-        rhs = jnp.matmul(
-            a_val_l, other_full.astype(md), preferred_element_type=dtype
-        )                                                        # [I, K]
-        # barrier: without it XLA re-fuses the transpose into the matmul
-        # and picks the M=32 output orientation, which starves the MXU
-        # (measured 0.07 vs 0.02 ms on ml-1m)
-        rhs = jax.lax.optimization_barrier(rhs)
+        i_loc = a_val_l.shape[0]
+        t_tot = tri_i.shape[0]
+        if "nomatmul" in ablate.split(","):                      # perf-debug
+            gram_tri_t = jnp.zeros((t_tot, i_loc), dtype) + v_t[:1, :1] * 1e-12
+            rhs = jnp.zeros((i_loc, k), dtype) + a_val_l[:, :1].astype(dtype)
+        else:
+            # packed lower triangle of the rowwise outer products, [T, N]
+            p_tri_t = (jnp.take(v_t, tri_i, axis=0)
+                       * jnp.take(v_t, tri_j, axis=0)).astype(md)
+            gram_tri_t = jnp.matmul(
+                p_tri_t, a_ind_t_l, preferred_element_type=dtype
+            )                                                    # [T, I]
+            rhs = jnp.matmul(
+                a_val_l, other_full.astype(md), preferred_element_type=dtype
+            )                                                    # [I, K]
+            # barrier: without it XLA re-fuses the transpose into the matmul
+            # and picks the M=32 output orientation, which starves the MXU
+            # (measured 0.07 vs 0.02 ms on ml-1m)
+            rhs = jax.lax.optimization_barrier(rhs)
         prior_rhs = hp.lambda_f @ hp.mu                          # [K]
         rhs_full_t = rhs.T + prior_rhs[:, None]                  # [K, I]
         noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
         if noise_scale != 1.0:
             noise = noise * noise_scale
-        u_t = tri_combine_solve_sample(
-            gram_tri_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
-            interpret=interpret,
-        )                                                        # [K, I]
+        if "nosolve" in ablate.split(","):                       # perf-debug
+            u_t = rhs_full_t + noise.T + gram_tri_t[:k, :]
+        else:
+            u_t = tri_combine_solve_sample(
+                gram_tri_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
+                interpret=interpret,
+            )                                                    # [K, I]
         u = u_t.T
 
         uv = u * local_valid_l[:, None]
@@ -639,6 +649,7 @@ def dense8_half_sweep(
     orientation: str,          # 'rows' (users sweep) | 'cols' (movies sweep)
     matmul_dtype,
     interpret: bool = False,
+    ablate: str = "",
 ) -> SideState:
     """int8 dense-stream half-sweep (ops/dense8): single-chip only, no
     exchange — the one shared code array serves both sides.  Math is the
@@ -650,6 +661,7 @@ def dense8_half_sweep(
     from bpmf_tpu.ops.dense8 import (
         dense8_gram_rhs_cols,
         dense8_gram_rhs_rows,
+        packed_tri_t,
     )
     from bpmf_tpu.ops.pallas_solve import tri_combine_solve_sample
 
@@ -660,27 +672,34 @@ def dense8_half_sweep(
     lo = local_orig[0]
     lv = local_valid[0]
 
-    if orientation == "rows":
-        gram, rhs = dense8_gram_rhs_rows(
-            codes, other_items.astype(matmul_dtype), cs, cb,
-            interpret=interpret,
-        )
-        gram_t = gram.T
-        rhs_t = rhs.T
+    # frozen side, transposed + its packed-triangle operand (built ONCE per
+    # half-sweep; the kernels stream tiles of both)
+    v_t = other_items.T.astype(matmul_dtype)
+    if "nomatmul" in ablate.split(","):                          # perf-debug
+        from bpmf_tpu.ops.pallas_solve import tri_offsets
+
+        _, t_tot = tri_offsets(k)
+        n_items = codes.shape[0] if orientation == "rows" else codes.shape[1]
+        gram_t = jnp.zeros((t_tot, n_items), dtype) + v_t[:1, :1].astype(dtype) * 1e-12
+        rhs_t = jnp.zeros((k, n_items), dtype)
     else:
-        gram_t, rhs_t = dense8_gram_rhs_cols(
-            codes, other_items.T.astype(matmul_dtype), cs, cb,
-            interpret=interpret,
-        )
+        p_t = packed_tri_t(v_t.astype(dtype)).astype(matmul_dtype)
+        kernel = (dense8_gram_rhs_rows if orientation == "rows"
+                  else dense8_gram_rhs_cols)
+        gram_t, rhs_t = kernel(codes, p_t, v_t, cs, cb, interpret=interpret)
     gram_t = gram_t.astype(dtype)
     prior_rhs = hp.lambda_f @ hp.mu                          # [K]
     rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]    # [K, I]
     noise = item_noise(side_key, lo, k, dtype, num=num)
     if noise_scale != 1.0:
         noise = noise * noise_scale
-    u_t = tri_combine_solve_sample(
-        gram_t, hp.lambda_f, rhs_full_t, noise.T, alpha, interpret=interpret
-    )                                                        # [K, I]
+    if "nosolve" in ablate.split(","):                           # perf-debug
+        u_t = rhs_full_t + noise.T + gram_t[:k, :]
+    else:
+        u_t = tri_combine_solve_sample(
+            gram_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
+            interpret=interpret,
+        )                                                    # [K, I]
     u = u_t.T
 
     uv = u * lv[:, None]

@@ -262,7 +262,9 @@ class BPMF:
             and self.n_devices == 1
             and cfg.dtype == "float32"
             and not cfg.diagonal_only
-            and cfg.ablate == ""
+            # profiling ablations keep the path eligible so --profile
+            # attribution measures THIS path, not a fallback
+            and cfg.ablate in ("", "nopredict", "nomatmul", "nosolve")
             and tri_fused_supported(cfg.num_latent)
         )
         if d8_ok:
@@ -417,7 +419,7 @@ class BPMF:
             eligible = (
                 tri_fused_supported(cfg.num_latent)
                 and not cfg.diagonal_only
-                and cfg.ablate == ""
+                and cfg.ablate in ("", "nopredict", "nomatmul", "nosolve")
                 and side.prop_mu is None
                 and self.solver in ("smart", "pallas")
             )
@@ -554,6 +556,7 @@ class BPMF:
                     orientation="rows" if side is self.users else "cols",
                     matmul_dtype=md,
                     interpret=self._d8_interpret,
+                    ablate=cfg.ablate,
                 )
             if side.impl == "dense" and aux["fused"]:
                 return dense_half_sweep_fused(
@@ -565,6 +568,7 @@ class BPMF:
                     burnin=cfg.burnin,
                     noise_scale=1.0,
                     interpret=self._fuse_interpret,
+                    ablate=cfg.ablate,
                 )
             if side.impl == "dense":
                 kw = dict(common)
@@ -896,6 +900,7 @@ class BPMF:
             jnp.asarray(self.iter, jnp.int32),
             mean_rating=self._mean_rating_dev,
             burnin=cfg.burnin,
+            gather_dtype=self._md,
         )
         self.est = est
         self.rmse = float(rmse)
@@ -921,7 +926,69 @@ class BPMF:
         rep = self.counters.report()
         if rep:
             self._log(rep)
+        if cfg.profile:
+            self._log(self.profile_phases())
         return self.rmse_avg
+
+    def profile_phases(self, iters: int = 25) -> str:
+        """Device-synced sweep-phase attribution (--profile).
+
+        The in-context analog of the reference's per-phase BPMF_COUNTER
+        scopes (c++/counters.cpp:31-56, c++/sample.cpp:326-327): because a
+        half-sweep here is ONE fused XLA program, phases are attributed by
+        whole-program differencing — re-timing the compiled iteration with
+        individual phases ablated (Config.ablate) — rather than in-program
+        timers, which would break fusion and measure a different program.
+        Standalone micro-benchmarks of the same ops mis-measure badly
+        (XLA picks different layouts/fusions out of context), so deltas
+        against the real program are the honest number.
+        """
+        import dataclasses
+
+        def timed(sampler) -> float:
+            jax.block_until_ready(sampler.run_chunk(iters))
+            best = float("inf")
+            for _ in range(3):
+                t0 = tick()
+                jax.block_until_ready(sampler.run_chunk(iters))
+                best = min(best, tick() - t0)
+            return best / iters
+
+        full = timed(self)  # post-run: extra chain steps are harmless
+        impls = {self.users.impl, self.movies.impl}
+        variants = ["nopredict", "nosolve", "nomatmul"]
+        if "bucketed" in impls:
+            variants.append("nogather")
+        names = {
+            "nopredict": "predict/eval",
+            "nosolve": "cholesky-solve-sample",
+            "nomatmul": "gram matmul",
+            "nogather": "neighbor gather",
+        }
+        lines = [
+            f"sweep phase attribution (device-synced, {iters}-iter chunks):",
+            f"  full iteration           {full * 1e3:9.4f} ms",
+        ]
+        for v in variants:
+            # output_dir stays: aggregation arrays must match `self` for the
+            # deltas to isolate the ablated phase alone (no files are
+            # written — only run() does that)
+            cfg2 = dataclasses.replace(
+                self.cfg, ablate=v, profile=False,
+                checkpoint_path="", resume="",
+            )
+            s = BPMF(cfg2, train=self.train, test=self.test,
+                     out=open(os.devnull, "w"))
+            s.setup()
+            t = timed(s)
+            lines.append(
+                f"  {names[v]:<24} {max(full - t, 0.0) * 1e3:9.4f} ms"
+                f"  (iteration without it: {t * 1e3:.4f})"
+            )
+        lines.append(
+            "  (residual = gram/exchange + hyper + noise + stats)"
+        )
+        return "\n".join(lines)
 
     # -- outputs -----------------------------------------------------------
 

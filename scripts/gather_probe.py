@@ -62,10 +62,11 @@ table_np = rng.normal(size=(NV, K)).astype(np.float32)
 idx_np = rng.integers(0, NV, size=(R, W)).astype(np.int32)
 
 
-# -- A: jnp.take along axis 0 (sublane gather) --------------------------
+# -- A: take_along_axis on sublanes (Mosaic dynamic_gather semantics) ----
 def kernel_a(idx_ref, table_ref, out_ref):
     idx = idx_ref[:]                       # [R*W] int32 (flat)
-    g = jnp.take(table_ref[:], idx, axis=0)   # [R*W, K]
+    idx2 = jnp.broadcast_to(idx[:, None], (R * W, K))
+    g = jnp.take_along_axis(table_ref[:], idx2, axis=0)   # [R*W, K]
     out_ref[:] = jnp.sum(g.reshape(R, W, K), axis=1)
 
 

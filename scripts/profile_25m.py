@@ -98,7 +98,8 @@ def main():
     jax.block_until_ready(codes)
     print("upload", time.perf_counter() - t0, flush=True)
 
-    from bpmf_tpu.ops.dense8 import dense8_gram_rhs_rows, dense8_gram_rhs_cols
+    from bpmf_tpu.ops.dense8 import (
+        dense8_gram_rhs_rows, dense8_gram_rhs_cols, packed_tri_t)
     from bpmf_tpu.ops.pallas_solve import tri_combine_solve_sample
     from bpmf_tpu.ops.update import noise_table
 
@@ -111,7 +112,10 @@ def main():
     # constants and lowering never finishes.
     def rows_scan(a, v):
         def body(c, _):
-            g, r = dense8_gram_rhs_rows(a, c.astype(jnp.bfloat16), cs, cb)
+            ct = c.T
+            g, r = dense8_gram_rhs_rows(
+                a, packed_tri_t(ct).astype(jnp.bfloat16),
+                ct.astype(jnp.bfloat16), cs, cb)
             return c * (1.0 + 1e-30 * g[0, 0]), None
         return lax.scan(body, v, None, length=N_STEPS)[0]
     if want("rows"):
@@ -120,7 +124,10 @@ def main():
     # 2. cols kernel
     def cols_scan(a, u):
         def body(c, _):
-            g, r = dense8_gram_rhs_cols(a, c.T.astype(jnp.bfloat16), cs, cb)
+            ct = c.T
+            g, r = dense8_gram_rhs_cols(
+                a, packed_tri_t(ct).astype(jnp.bfloat16),
+                ct.astype(jnp.bfloat16), cs, cb)
             return c * (1.0 + 1e-30 * g[0, 0]), None
         return lax.scan(body, u, None, length=N_STEPS)[0]
     if want("cols"):

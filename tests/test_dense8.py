@@ -15,8 +15,8 @@ from bpmf_tpu.ops.dense8 import (
     build_code_array,
     dense8_gram_rhs_cols,
     dense8_gram_rhs_rows,
+    packed_tri_t,
     quantize_values,
-    tri_selectors,
 )
 from bpmf_tpu.ops.pallas_solve import tri_index_pairs
 from bpmf_tpu.sampler import BPMF
@@ -79,30 +79,32 @@ def test_kernel_matches_numpy(orientation):
     cs, cb = 0.5, -1.25
     if orientation == "rows":
         v = rng.normal(size=(c, k)).astype(np.float32)
-        gram, rhs = jax.jit(
-            lambda a, b: dense8_gram_rhs_rows(a, b, cs, cb, interpret=INTERP)
-        )(jnp.asarray(codes), jnp.asarray(v))
         gram_ref, rhs_ref = _ref_gram_rhs(codes, v, cs, cb, k)
+        kernel = dense8_gram_rhs_rows
     else:
-        u = rng.normal(size=(r, k)).astype(np.float32)
-        gram_t, rhs_t = jax.jit(
-            lambda a, b: dense8_gram_rhs_cols(a, b, cs, cb, interpret=INTERP)
-        )(jnp.asarray(codes), jnp.asarray(np.ascontiguousarray(u.T)))
-        gram, rhs = np.asarray(gram_t).T, np.asarray(rhs_t).T
-        g, rh = _ref_gram_rhs(codes.T, u, cs, cb, k)
-        gram_ref, rhs_ref = g, rh
-    np.testing.assert_allclose(np.asarray(gram), gram_ref, rtol=2e-5, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(rhs), rhs_ref, rtol=2e-5, atol=1e-4)
+        v = rng.normal(size=(r, k)).astype(np.float32)
+        gram_ref, rhs_ref = _ref_gram_rhs(codes.T, v, cs, cb, k)
+        kernel = dense8_gram_rhs_cols
+    v_t = jnp.asarray(np.ascontiguousarray(v.T))
+    p_t = packed_tri_t(v_t)
+    gram_t, rhs_t = jax.jit(
+        lambda a, p, b: kernel(a, p, b, cs, cb, interpret=INTERP)
+    )(jnp.asarray(codes), p_t, v_t)
+    t = len(tri_index_pairs(k)[0])
+    np.testing.assert_allclose(
+        np.asarray(gram_t)[:t].T, gram_ref, rtol=2e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(rhs_t).T, rhs_ref, rtol=2e-5, atol=1e-4)
 
 
-def test_tri_selectors_build_packed_triangle():
+def test_packed_tri_t_matches_index_pairs():
     k = 16
     rng = np.random.default_rng(2)
     v = rng.normal(size=(5, k)).astype(np.float32)
-    sel_i, sel_j = tri_selectors(k, np.float32)
     tri_i, tri_j = tri_index_pairs(k)
+    p_t = packed_tri_t(jnp.asarray(np.ascontiguousarray(v.T)))
     np.testing.assert_allclose(
-        (v @ sel_i) * (v @ sel_j), v[:, tri_i] * v[:, tri_j]
+        np.asarray(p_t)[: len(tri_i)].T, v[:, tri_i] * v[:, tri_j]
     )
 
 
