@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bpmf_tpu.ops.pallas_solve import tri_index_pairs, tri_offsets
+from bpmf_tpu.ops.pallas_solve import tri_tight_pairs
 
 __all__ = [
     "Quantization",
@@ -128,18 +128,15 @@ def build_code_array(
 
 
 def packed_tri_t(v_t: jax.Array) -> jax.Array:
-    """[K, N] frozen items (transposed) -> [T, N] packed-lower-triangle
-    outer products, p_t[t, n] = v_t[tri_i[t], n] * v_t[tri_j[t], n], padded
-    with zero rows to the lane-aligned T (tri_offsets)."""
+    """[K, N] frozen items (transposed) -> [T_tight, N] TIGHTLY-packed
+    lower-triangle outer products, p_t[t, n] = v_t[ii[t], n] * v_t[jj[t], n]
+    (tri_tight_pairs — the Gram matmul contracts against this; the result
+    is row-expanded into the solver's aligned layout afterwards)."""
     k = v_t.shape[0]
-    tri_i, tri_j = tri_index_pairs(k)
-    p = jnp.take(v_t, jnp.asarray(tri_i), axis=0) * jnp.take(
-        v_t, jnp.asarray(tri_j), axis=0
+    ii, jj, _ = tri_tight_pairs(k)
+    return jnp.take(v_t, jnp.asarray(ii), axis=0) * jnp.take(
+        v_t, jnp.asarray(jj), axis=0
     )
-    _, t_total = tri_offsets(k)
-    if p.shape[0] < t_total:
-        p = jnp.pad(p, ((0, t_total - p.shape[0]), (0, 0)))
-    return p
 
 
 def _pick_block(n: int, prefer: tuple[int, ...] = (1024, 512)) -> int:

@@ -249,6 +249,35 @@ def tri_index_pairs(k: int, align: int = 8):
     return ii, jj
 
 
+def tri_tight_pairs(k: int, align: int = 16):
+    """TIGHTLY-packed lower triangle (no per-column alignment) for the Gram
+    matmul: K=32's aligned layout is 640 rows but only 528 are real — the
+    per-column 8-alignment that the solver's in-kernel slices need wastes
+    17.5% of the Gram matmul's MXU flops.  The matmul therefore contracts
+    against this tight layout and the result is re-expanded into the
+    aligned layout by one static row-take (``row_map``) before the solver.
+
+    Returns (ii, jj, row_map): index pairs of length
+    roundup(k(k+1)/2, align) for building the tight p_tri operand
+    (align=16 keeps the bf16 sublane tiling happy), and the int32 map from
+    aligned-layout rows to tight rows (aligned padding rows map to row 0 —
+    the solver never reads them)."""
+    import numpy as np
+
+    tri = [(i, j) for j in range(k) for i in range(j, k)]
+    t_tight = ((len(tri) + align - 1) // align) * align
+    ii = np.zeros((t_tight,), np.int32)
+    jj = np.zeros((t_tight,), np.int32)
+    for t, (i, j) in enumerate(tri):
+        ii[t], jj[t] = i, j
+    tight_off = np.concatenate(
+        [[0], np.cumsum([k - j for j in range(k)])]
+    ).astype(np.int32)
+    ai, aj = tri_index_pairs(k)
+    row_map = tight_off[aj] + (ai - aj)
+    return ii, jj, row_map.astype(np.int32)
+
+
 def _kernel_tri_fused(lam_ref, gtri_ref, rhs_ref, noise_ref, out_ref,
                       *, k: int, alpha: float):
     """Fused prior-combine + Cholesky + substitutions + MVN sample on a

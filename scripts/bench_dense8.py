@@ -25,7 +25,7 @@ from bpmf_tpu.ops.dense8 import (
     dense8_gram_rhs_rows,
     packed_tri_t,
 )
-from bpmf_tpu.ops.pallas_solve import tri_index_pairs
+from bpmf_tpu.ops.pallas_solve import tri_tight_pairs
 
 
 def check_correct():
@@ -34,7 +34,7 @@ def check_correct():
     codes = rng.integers(0, 6, size=(r, c)).astype(np.int8)
     cs, cb = 0.25, -1.5
     interp = jax.default_backend() != "tpu"
-    tri_i, tri_j = tri_index_pairs(k)
+    tri_i, tri_j, _ = tri_tight_pairs(k)
     t = len(tri_i)
 
     ind = (codes != 0).astype(np.float32)

@@ -20,6 +20,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the TEST programs: most suite wall time
+# is XLA recompiling near-identical sweep programs on every run.  The cache
+# lives in the user cache dir (machine-local — CPU AOT entries are
+# host-feature-specific and must never travel between machines, which is
+# why sampler.py enables the shared cache only on TPU).
+_cache = os.path.expanduser("~/.cache/bpmf_tpu_xla_cpu_tests")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -18,7 +18,7 @@ from bpmf_tpu.ops.dense8 import (
     packed_tri_t,
     quantize_values,
 )
-from bpmf_tpu.ops.pallas_solve import tri_index_pairs
+from bpmf_tpu.ops.pallas_solve import tri_tight_pairs
 from bpmf_tpu.sampler import BPMF
 
 INTERP = jax.default_backend() != "tpu"
@@ -66,7 +66,7 @@ def test_code_array_roundtrip():
 def _ref_gram_rhs(codes, v, cs, cb, k):
     ind = (codes != 0).astype(np.float32)
     cv = codes.astype(np.float32) * cs + ind * cb
-    tri_i, tri_j = tri_index_pairs(k)
+    tri_i, tri_j, _ = tri_tight_pairs(k)
     p = v[:, tri_i] * v[:, tri_j]
     return ind @ p, cv @ v
 
@@ -90,7 +90,7 @@ def test_kernel_matches_numpy(orientation):
     gram_t, rhs_t = jax.jit(
         lambda a, p, b: kernel(a, p, b, cs, cb, interpret=INTERP)
     )(jnp.asarray(codes), p_t, v_t)
-    t = len(tri_index_pairs(k)[0])
+    t = (k * (k + 1)) // 2
     np.testing.assert_allclose(
         np.asarray(gram_t)[:t].T, gram_ref, rtol=2e-5, atol=1e-4
     )
@@ -101,7 +101,7 @@ def test_packed_tri_t_matches_index_pairs():
     k = 16
     rng = np.random.default_rng(2)
     v = rng.normal(size=(5, k)).astype(np.float32)
-    tri_i, tri_j = tri_index_pairs(k)
+    tri_i, tri_j, _ = tri_tight_pairs(k)
     p_t = packed_tri_t(jnp.asarray(np.ascontiguousarray(v.T)))
     np.testing.assert_allclose(
         np.asarray(p_t)[: len(tri_i)].T, v[:, tri_i] * v[:, tri_j]
