@@ -139,15 +139,22 @@ def _write_mtx_sparse(f, X: sp.spmatrix) -> None:
     X = X.tocoo()
     f.write("%%MatrixMarket matrix coordinate real general\n")
     f.write(f"{X.shape[0]} {X.shape[1]} {X.nnz}\n")
-    for r, c, v in zip(X.row, X.col, X.data):
-        f.write(f"{r + 1} {c + 1} {v:.17g}\n")
+    # one joined write: a per-entry f.write(f-string) loop crawls at
+    # tens-of-MB outputs (dominated by the per-line write call)
+    if X.nnz:
+        body = "\n".join(
+            "%d %d %.17g" % t
+            for t in zip(X.row + 1, X.col + 1, X.data.astype(np.float64))
+        )
+        f.write(body + "\n")
 
 
 def _write_mtx_dense(f, X: np.ndarray) -> None:
     f.write("%%MatrixMarket matrix array real general\n")
     f.write(f"{X.shape[0]} {X.shape[1]}\n")
-    for v in np.asarray(X, dtype=np.float64).flatten(order="F"):
-        f.write(f"{v:.17g}\n")
+    flat = np.asarray(X, dtype=np.float64).flatten(order="F")
+    if flat.size:
+        f.write("\n".join("%.17g" % v for v in flat) + "\n")
 
 
 # ---------------------------------------------------------------------------
