@@ -59,10 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-phase counters (ENABLE_PROFILING analog)")
     p.add_argument("--diagonal-only", action="store_true",
                    help="diagonal precision only (ONLY_VARIANCE analog)")
-    p.add_argument("--chunk", type=int, default=1, metavar="N",
-                   help="iterations per device dispatch (lax.scan); 1 matches "
-                        "the reference's per-iteration cadence, larger values "
-                        "amortize host latency for production runs")
+    p.add_argument("--chunk", type=int, default=8, metavar="N",
+                   help="iterations per device dispatch (lax.scan); per-"
+                        "iteration log lines are preserved (metrics come "
+                        "back stacked).  Default 8 amortizes the host "
+                        "dispatch latency that dominates small problems; "
+                        "-v forces 1 (per-iteration model dumps need the "
+                        "state each step)")
     p.add_argument("--solver", default="auto",
                    choices=["auto", "xla", "vpu", "pallas", "smart", "unrolled"],
                    help="batched Cholesky+solve backend (auto: vpu on TPU)")
