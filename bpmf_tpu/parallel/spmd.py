@@ -731,6 +731,152 @@ def dense8_half_sweep(
     )
 
 
+def dense8_half_sweep_sharded(
+    mesh: Mesh,
+    state: SideState,
+    codes: jax.Array,          # [R, C] int8, sharded P(AXIS, None) — rows
+                               # are the USERS side's padded device order
+    other_items: jax.Array,    # [other_padded, K] sharded over the mesh
+    key: jax.Array,
+    it: jax.Array,
+    *,
+    num: int,
+    local_orig: jax.Array,     # [D, local_pad]
+    local_valid: jax.Array,    # [D, local_pad]
+    alpha: float,
+    burnin: int,
+    noise_scale: float,
+    cs: float,
+    cb: float,
+    orientation: str,          # 'rows' (users sweep) | 'cols' (movies sweep)
+    matmul_dtype,
+    interpret: bool = False,
+    ablate: str = "",
+) -> SideState:
+    """Multi-chip int8 dense-stream half-sweep: the code array is sharded
+    by USER rows, so each device streams only its [R/D, C] int8 shard —
+    the huge-sparse fast path scales past one chip's HBM.
+
+    * users sweep (``rows``): value exchange — ``all_gather`` the (small)
+      frozen movies side (C*K values: 3.8 MB at ml-25M), each device
+      computes its own users' gram/rhs from its code shard and solves
+      locally.
+    * movies sweep (``cols``): statistic exchange — each device contracts
+      its local user rows into PARTIAL per-movie stats and ONE
+      ``psum_scatter`` lands the summed [T+K, C/D] slab on the movie
+      owner shard, which solves its movies locally.  This is the
+      ENABLE_REDUCE pattern (c++/mpi_reduce.h:29-45) at (T+K)*C*4 bytes
+      per iteration (~133 MB at ml-25M) riding ICI.
+
+    Trajectories equal the single-chip dense8 path (same noise keying,
+    same f32 accumulation; only the psum reduction order differs).
+    """
+    from bpmf_tpu.ops.dense8 import (
+        dense8_gram_rhs_cols,
+        dense8_gram_rhs_rows,
+        packed_tri_t,
+    )
+    from bpmf_tpu.ops.pallas_solve import (
+        tri_combine_solve_sample,
+        tri_tight_pairs,
+    )
+
+    dtype = other_items.dtype
+    k = other_items.shape[-1]
+    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    side_key = jax.random.fold_in(key, 1)
+    has_aggr = state.aggr_mu is not None
+    _, _, row_map_np = tri_tight_pairs(k)
+    row_map = jnp.asarray(row_map_np)
+
+    def tail(gram_tight_t, rhs_t, lo_l, lv_l, aggr_mu_l, aggr_prod_l):
+        gram_t = jnp.take(gram_tight_t, row_map, axis=0).astype(dtype)
+        prior_rhs = hp.lambda_f @ hp.mu
+        rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]
+        noise = item_noise(side_key, lo_l, k, dtype, num=num)
+        if noise_scale != 1.0:
+            noise = noise * noise_scale
+        u_t = tri_combine_solve_sample(
+            gram_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
+            interpret=interpret,
+        )
+        u = u_t.T
+        uv = u * lv_l[:, None]
+        s = lax.psum(uv.sum(axis=0), AXIS)
+        prod = lax.psum(
+            jnp.einsum("sk,sl->kl", uv, u, preferred_element_type=dtype), AXIS
+        )
+        norm = lax.psum(jnp.vdot(uv, u), AXIS)
+        aggr_on = jnp.asarray(it >= burnin, dtype)
+        if aggr_mu_l is not None:
+            aggr_mu_l = aggr_mu_l + uv * aggr_on
+            aggr_prod_l = aggr_prod_l + jnp.einsum(
+                "sk,sl->skl", uv * aggr_on, u
+            )
+        return u, aggr_mu_l, aggr_prod_l, s, prod, norm
+
+    if orientation == "rows":
+
+        def body(aggr_mu_l, aggr_prod_l, codes_l, other_l, lo_l, lv_l):
+            other_full = lax.all_gather(other_l, AXIS, tiled=True)  # [C, K]
+            v_t = other_full.T.astype(matmul_dtype)
+            p_t = packed_tri_t(other_full.T).astype(matmul_dtype)
+            gram_t, rhs_t = dense8_gram_rhs_rows(
+                codes_l, p_t, v_t, cs, cb, interpret=interpret
+            )                                    # [T_tight, R/D], [K, R/D]
+            return tail(gram_t, rhs_t, lo_l[0], lv_l[0],
+                        aggr_mu_l, aggr_prod_l)
+
+    else:
+
+        def body(aggr_mu_l, aggr_prod_l, codes_l, other_l, lo_l, lv_l):
+            # frozen users rows on this device line up with the code shard
+            # rows — no gather at all
+            v_t = other_l.T.astype(matmul_dtype)
+            p_t = packed_tri_t(other_l.T).astype(matmul_dtype)
+            gram_t, rhs_t = dense8_gram_rhs_cols(
+                codes_l, p_t, v_t, cs, cb, interpret=interpret
+            )                                    # PARTIAL [T_tight, C], [K, C]
+            t_rows = gram_t.shape[0]
+            both = jnp.concatenate([gram_t, rhs_t], axis=0)
+            both = lax.psum_scatter(
+                both, AXIS, scatter_dimension=1, tiled=True
+            )                                    # [T_tight+K, C/D]
+            return tail(both[:t_rows], both[t_rows:], lo_l[0], lv_l[0],
+                        aggr_mu_l, aggr_prod_l)
+
+    aggr_spec = P(AXIS, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    in_specs = (
+        aggr_spec,
+        aggr_prod_spec,
+        P(AXIS, None),           # code shard (user rows)
+        P(AXIS, None),           # frozen side items
+        P(AXIS, None),           # local_orig
+        P(AXIS, None),           # local_valid
+    )
+    out_specs = (
+        P(AXIS, None),
+        aggr_spec,
+        aggr_prod_spec,
+        P(),
+        P(),
+        P(),
+    )
+    items, aggr_mu, aggr_prod, s, prod, norm = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(state.aggr_mu, state.aggr_prod, codes, other_items,
+      local_orig, local_valid)
+
+    n_f = jnp.asarray(num, dtype)
+    cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
+    return SideState(
+        items=items, hp=hp, sum=s, cov=cov, norm=norm,
+        aggr_mu=aggr_mu, aggr_prod=aggr_prod,
+    )
+
+
 def reduce_half_sweep(
     mesh: Mesh,
     state: SideState,

@@ -15,6 +15,7 @@ host loop feeds the iteration counter and fetches four scalar metrics.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from typing import Optional
@@ -43,6 +44,7 @@ from bpmf_tpu.parallel.mesh import make_mesh, to_host
 from bpmf_tpu.parallel.spmd import (
     AXIS,
     dense8_half_sweep,
+    dense8_half_sweep_sharded,
     dense_half_sweep,
     dense_half_sweep_fused,
     gather_half_sweep,
@@ -247,8 +249,10 @@ class BPMF:
         self.mesh = make_mesh(self.n_devices)
 
         # int8 dense-stream eligibility (ops/dense8): one shared
-        # [users_pad, movies_pad] int8 code array, single chip, ratings on
-        # an exact affine grid (true for the whole MovieLens family).
+        # [users_pad, movies_pad] int8 code array, ratings on an exact
+        # affine grid (true for the whole MovieLens family).  Multi-chip:
+        # the array is sharded by user rows (dense8_half_sweep_sharded) —
+        # each device stores and streams R/D x C int8.
         from bpmf_tpu.ops.dense8 import (
             BLOCK_MULTIPLE,
             quantize_values,
@@ -259,25 +263,31 @@ class BPMF:
         self._d8_quant = None
         d8_ok = (
             cfg.gram_impl in ("auto", "dense8")
-            and self.n_devices == 1
             and cfg.dtype == "float32"
             and not cfg.diagonal_only
             # profiling ablations keep the path eligible so --profile
-            # attribution measures THIS path, not a fallback
-            and cfg.ablate in ("", "nopredict", "nomatmul", "nosolve")
+            # attribution measures THIS path, not a fallback (the sharded
+            # variant implements only nopredict)
+            and cfg.ablate in (
+                ("", "nopredict", "nomatmul", "nosolve")
+                if self.n_devices == 1 else ("", "nopredict")
+            )
             and tri_fused_supported(cfg.num_latent)
         )
         if d8_ok:
             q = quantize_values(self.train.data)
             rp = -(-self.users.maps.padded_num // BLOCK_MULTIPLE) * BLOCK_MULTIPLE
             cp = -(-self.movies.maps.padded_num // BLOCK_MULTIPLE) * BLOCK_MULTIPLE
-            d8_ok = q is not None and rp * cp <= cfg.dense8_limit_bytes
+            # the budget is PER DEVICE: rows shard over the mesh
+            d8_ok = (
+                q is not None
+                and rp * cp // self.n_devices <= cfg.dense8_limit_bytes
+            )
             self._d8_quant = q
         if cfg.gram_impl == "dense8" and not d8_ok:
             raise ValueError(
-                "gram_impl='dense8' needs a single device, float32, "
-                "grid-quantizable ratings, and K within the fused tri "
-                "kernel's VMEM budget"
+                "gram_impl='dense8' needs float32, grid-quantizable "
+                "ratings, and K within the fused tri kernel's VMEM budget"
             )
 
         def d8_side_ok(side: Side) -> bool:
@@ -286,9 +296,11 @@ class BPMF:
             if cfg.gram_impl == "dense8":
                 return True
             # auto: TPU only (interpret-mode Pallas off-TPU is tests-only),
-            # gather mode only (dense8 is a no-exchange single-chip path;
-            # reduce-mode runs keep the bucketed statistic-exchange
-            # program), only under the default solver family (a user-forced
+            # gather mode only (multi-chip dense8 does its own value
+            # exchange on the users sweep and stat exchange on the movies
+            # sweep; explicit reduce-mode runs keep the bucketed
+            # statistic-exchange program), only under the default solver
+            # family (a user-forced
             # exact solver keeps the path that honors it), and only BEYOND
             # the bf16 dense budget — below it the fused dense sweep with
             # its precomputed operands wins (measured ml-1m synth: 7.8M
@@ -397,8 +409,11 @@ class BPMF:
             )
             with self.counters.scope("upload"):
                 # numpy straight to device — jnp.asarray first would create
-                # a second device copy of the multi-GB array
-                self._codes = jax.device_put(codes_np)
+                # a second device copy of the multi-GB array.  Sharded by
+                # user rows: each device holds R/D x C int8.
+                self._codes = jax.device_put(
+                    codes_np, NamedSharding(self.mesh, P(AXIS, None))
+                )
             del codes_np
             self._d8_cs = float(q.scale * cfg.alpha)
             self._d8_cb = float((q.offset - self.mean_rating) * cfg.alpha)
@@ -543,7 +558,11 @@ class BPMF:
             local_orig, local_valid = maps
             aux = self._aux[side.name]
             if side.impl == "dense8":
-                return dense8_half_sweep(
+                d8 = (
+                    dense8_half_sweep if self.n_devices == 1
+                    else functools.partial(dense8_half_sweep_sharded, mesh)
+                )
+                return d8(
                     state, codes, other_items, key, it,
                     num=side.num,
                     local_orig=local_orig,
@@ -824,7 +843,11 @@ class BPMF:
         while done < cfg.nsims:
             n = min(chunk, cfg.nsims - done)
             start = tick()
-            with self.counters.scope("main"):
+            # the device sync makes the scope wall time honest even if a
+            # future metrics path stops forcing a transfer
+            with self.counters.scope(
+                "main", sync=lambda: jax.block_until_ready(self.state_u.items)
+            ):
                 if n == 1:
                     metrics = jax.device_get(self.step())
                     stacked = [metrics]

@@ -178,3 +178,20 @@ def test_dense8_with_prop_posterior_falls_back(tmp_path):
     assert np.isfinite(rmse_avg)
     assert s.users.impl != "dense8"       # prop side fell back
     assert s.movies.impl == "dense8"      # other side kept the coded path
+
+
+def test_sharded_trajectory_matches_single_device():
+    """Multi-chip dense8 (rows-sharded code array: all_gather on the users
+    sweep, psum_scatter stat exchange on the movies sweep) reproduces the
+    1-device dense8 trajectory on the virtual mesh."""
+    train, test = synth_movielens(
+        n_users=300, n_movies=200, n_ratings=5000, seed=7
+    )
+    s_1, r_1 = _run(train, test, "dense8")
+    cfg = Config(num_latent=16, nsims=6, burnin=2, gram_impl="dense8",
+                 n_devices=4)
+    s_4 = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    r_4 = s_4.run()
+    assert s_4.users.impl == "dense8" and s_4.movies.impl == "dense8"
+    assert r_4 == pytest.approx(r_1, abs=2e-5)
+    assert s_4.rmse == pytest.approx(s_1.rmse, abs=2e-5)
