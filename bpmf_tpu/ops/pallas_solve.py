@@ -278,6 +278,28 @@ def tri_tight_pairs(k: int, align: int = 16):
     return ii, jj, row_map.astype(np.int32)
 
 
+def tri_expand_rows(g_tight, k: int):
+    """Tight [T_tight, B] -> solver-aligned [T, B] by static slices +
+    one concatenate.  NOT jnp.take(row_map): a row gather over arrays with
+    very long rows can lower to a pathological elementwise gather
+    (measured ~9 ms on chembl's [528, 167k] vs ~1 ms for this form).
+    Aligned padding rows are zeros — the solver never reads them."""
+    import numpy as np
+
+    b = g_tight.shape[1]
+    tight_off = np.concatenate(
+        [[0], np.cumsum([k - j for j in range(k)])]
+    ).astype(int)
+    parts = []
+    for j in range(k):
+        seg = k - j
+        parts.append(g_tight[tight_off[j] : tight_off[j] + seg])
+        pad = ((seg + 7) // 8) * 8 - seg
+        if pad:
+            parts.append(jnp.zeros((pad, b), g_tight.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
 def _kernel_tri_fused(lam_ref, gtri_ref, rhs_ref, noise_ref, out_ref,
                       *, k: int, alpha: float):
     """Fused prior-combine + Cholesky + substitutions + MVN sample on a

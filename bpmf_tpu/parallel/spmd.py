@@ -359,6 +359,7 @@ def dense_half_sweep_fused(
     implementations to reassociation tolerance."""
     from bpmf_tpu.ops.pallas_solve import (
         tri_combine_solve_sample,
+        tri_expand_rows,
         tri_tight_pairs,
     )
 
@@ -372,7 +373,6 @@ def dense_half_sweep_fused(
     tri_i_np, tri_j_np, row_map_np = tri_tight_pairs(k)
     tri_i = jnp.asarray(tri_i_np)
     tri_j = jnp.asarray(tri_j_np)
-    row_map = jnp.asarray(row_map_np)
 
     has_aggr = state.aggr_mu is not None
 
@@ -384,7 +384,7 @@ def dense_half_sweep_fused(
         other_full = lax.all_gather(other_l, AXIS, tiled=True)  # [N, K]
         v_t = other_full.T                                       # [K, N]
         i_loc = a_val_l.shape[0]
-        t_tot = row_map.shape[0]
+        t_tot = row_map_np.shape[0]
         if "nomatmul" in ablate.split(","):                      # perf-debug
             gram_tri_t = jnp.zeros((t_tot, i_loc), dtype) + v_t[:1, :1] * 1e-12
             rhs = jnp.zeros((i_loc, k), dtype) + a_val_l[:, :1].astype(dtype)
@@ -395,7 +395,7 @@ def dense_half_sweep_fused(
             gram_tri_t = jnp.matmul(
                 p_tri_t, a_ind_t_l, preferred_element_type=dtype
             )                                                    # [T_tight, I]
-            gram_tri_t = jnp.take(gram_tri_t, row_map, axis=0)   # [T, I]
+            gram_tri_t = tri_expand_rows(gram_tri_t, k)          # [T, I]
             rhs = jnp.matmul(
                 a_val_l, other_full.astype(md), preferred_element_type=dtype
             )                                                    # [I, K]
@@ -691,13 +691,12 @@ def dense8_half_sweep(
         kernel = (dense8_gram_rhs_rows if orientation == "rows"
                   else dense8_gram_rhs_cols)
         gram_t, rhs_t = kernel(codes, p_t, v_t, cs, cb, interpret=interpret)
-        # tight [T_tight, I] -> solver-aligned [T, I] (one static row-take;
+        # tight [T_tight, I] -> solver-aligned [T, I] (static slices;
         # computing the Gram tight saves the aligned layout's 17.5% pad
         # flops on the MXU — tri_tight_pairs)
-        from bpmf_tpu.ops.pallas_solve import tri_tight_pairs
+        from bpmf_tpu.ops.pallas_solve import tri_expand_rows
 
-        _, _, row_map = tri_tight_pairs(k)
-        gram_t = jnp.take(gram_t, jnp.asarray(row_map), axis=0)
+        gram_t = tri_expand_rows(gram_t, k)
     gram_t = gram_t.astype(dtype)
     prior_rhs = hp.lambda_f @ hp.mu                          # [K]
     rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]    # [K, I]
@@ -778,7 +777,7 @@ def dense8_half_sweep_sharded(
     )
     from bpmf_tpu.ops.pallas_solve import (
         tri_combine_solve_sample,
-        tri_tight_pairs,
+        tri_expand_rows,
     )
 
     dtype = other_items.dtype
@@ -786,11 +785,9 @@ def dense8_half_sweep_sharded(
     hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
     side_key = jax.random.fold_in(key, 1)
     has_aggr = state.aggr_mu is not None
-    _, _, row_map_np = tri_tight_pairs(k)
-    row_map = jnp.asarray(row_map_np)
 
     def tail(gram_tight_t, rhs_t, lo_l, lv_l, aggr_mu_l, aggr_prod_l):
-        gram_t = jnp.take(gram_tight_t, row_map, axis=0).astype(dtype)
+        gram_t = tri_expand_rows(gram_tight_t, k).astype(dtype)
         prior_rhs = hp.lambda_f @ hp.mu
         rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]
         noise = item_noise(side_key, lo_l, k, dtype, num=num)
