@@ -163,3 +163,13 @@ def test_nan_guard(tmp_path):
     s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
     with pytest.raises(FloatingPointError, match="non-finite"):
         s.run()
+
+
+def test_k64_end_to_end():
+    """Runtime K beyond the reference's shipped binaries (it compiles one
+    binary per K, conda bpmf-K): K=64 end-to-end, finite and converging."""
+    train, test = make_ratings(n_users=80, n_movies=50, density=0.4)
+    cfg = Config(num_latent=64, nsims=6, burnin=2)
+    s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+    rmse_avg = s.run()
+    assert np.isfinite(rmse_avg) and rmse_avg < 4.5
