@@ -380,10 +380,18 @@ def tri_combine_solve_sample(
     VMEM pass."""
     k, b = rhs_t.shape
     t_total = gram_tri_t.shape[0]
+    # BPMF_TRI_BLOCK overrides the lane-block sweep (tuning knob; 1024 was
+    # measured NO better than 512 on chembl — VMEM pressure eats the
+    # per-block amortization)
+    import os as _os
+
+    env_block = int(_os.environ.get("BPMF_TRI_BLOCK", "0"))
     budget = 11 * 1024 * 1024
     block = 0
-    for cand in (512, 256, 128):
-        if (t_total + 3 * k * k) * cand * 4 <= budget:
+    for cand in ((env_block,) if env_block else (512, 256, 128)):
+        if (t_total + 3 * k * k) * cand * 4 <= budget * (
+            2 if cand >= 1024 else 1
+        ):
             block = cand
             break
     assert block, f"K={k} too large for the fused tri kernel (tri_fused_supported)"
