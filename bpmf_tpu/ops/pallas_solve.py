@@ -16,9 +16,9 @@ The loop body is plain jnp on values (VPU ops); K is static so everything
 unrolls.  Numerically identical to the other solvers (tested to f32
 tolerance, including in interpret mode on CPU).
 
-MEASURED (v5e, dense sweep, K=32): the batch-FIRST kernel layout
-(chol_solve_sample_pallas) is ~6x slower than pure XLA — Mosaic pads the
-K=32 minor dim to 128 lanes.  The batch-LAST variant
+MEASURED (v5e, dense sweep, K=32): a batch-FIRST kernel layout is ~6x
+slower than pure XLA — Mosaic pads the K=32 minor dim to 128 lanes —
+and was removed after losing at every scale.  The batch-LAST variant
 (chol_solve_sample_pallas_blast, the Config.solver='pallas' default on
 TPU) puts the batch on the lane dimension instead and wins at every
 scale: ml-1m 4.2 ms/iter (vs 4.7 vpu / 39.4 xla), chembl-scale [168k]
@@ -36,55 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "chol_solve_sample_pallas",
     "chol_solve_sample_pallas_blast",
     "tri_offsets",
     "tri_index_pairs",
     "tri_combine_solve_sample",
 ]
-
-_BLOCK = 256  # items per grid step: 256*32*32*4 = 1 MB tile in VMEM at K=32
-
-
-def _kernel(prec_ref, rhs_ref, noise_ref, out_ref, *, k: int):
-    a = prec_ref[:].astype(jnp.float32)     # [B, K, K]
-    rhs = rhs_ref[:].astype(jnp.float32)    # [B, K]
-    noise = noise_ref[:].astype(jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-
-    # Cholesky, right-looking: L column j, then rank-1 downdate — all in VMEM
-    l_cols = []
-    for j in range(k):
-        d = jax.lax.rsqrt(a[:, j, j])                    # [B]
-        col = a[:, :, j] * d[:, None]                    # [B, K]
-        col = jnp.where(row >= j, col, 0.0)
-        l_cols.append(col)
-        a = a - col[:, :, None] * col[:, None, :]
-
-    # forward substitution y = L \ rhs
-    y = rhs
-    for j in range(k):
-        col = l_cols[j]
-        yj = y[:, j] / col[:, j]
-        y = jnp.where(row == j, yj[:, None], y - col * yj[:, None] * (row > j))
-
-    y = y + noise
-
-    # back substitution u = L' \ y ; row j of L read from the stored columns
-    x = y
-    for j in range(k - 1, -1, -1):
-        # L[j, m] for m <= j: element j of column m
-        xj = x[:, j] / l_cols[j][:, j]
-        # subtract L[j, m] * xj from positions m < j
-        lrow = jnp.stack([l_cols[m][:, j] for m in range(k)], axis=1)  # [B, K]
-        x = jnp.where(row == j, xj[:, None], x - lrow * xj[:, None] * (row < j))
-    return out_ref, x
-
-
-def _kernel_entry(prec_ref, rhs_ref, noise_ref, out_ref, *, k: int):
-    out_ref_, x = _kernel(prec_ref, rhs_ref, noise_ref, out_ref, k=k)
-    out_ref_[:] = x.astype(out_ref_.dtype)
-
 
 def _kernel_blast(prec_ref, rhs_ref, noise_ref, out_ref, *, k: int):
     """Batch-LAST layout kernel: tiles are [K, K, B] / [K, B] so the batch
@@ -421,34 +377,3 @@ def tri_combine_solve_sample(
     return out[:, :b]
 
 
-def chol_solve_sample_pallas(
-    precision: jax.Array,  # [B, K, K]
-    rhs: jax.Array,        # [B, K]
-    noise: jax.Array,      # [B, K]
-    interpret: bool = False,
-) -> jax.Array:
-    """u = L'^-1(noise + L^-1 rhs) with L L' = precision, fused in VMEM."""
-    b, k, _ = precision.shape
-    block = min(_BLOCK, b)
-    # grid requires b % block == 0; callers pad the batch (pad_count(...))
-    if b % block != 0:
-        # fall back to a block size that divides b (b is always a multiple
-        # of 8 by construction of the padded layouts)
-        block = 8
-    grid = (b // block,)
-    return pl.pallas_call(
-        functools.partial(_kernel_entry, k=k),
-        out_shape=jax.ShapeDtypeStruct((b, k), precision.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block, k, k), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, k), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, k), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block, k), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(precision, rhs, noise)

@@ -4,10 +4,7 @@ mode on CPU (the real-TPU path is cross-validated in perf runs)."""
 import jax.numpy as jnp
 import numpy as np
 
-from bpmf_tpu.ops.pallas_solve import (
-    chol_solve_sample_pallas,
-    chol_solve_sample_pallas_blast,
-)
+from bpmf_tpu.ops.pallas_solve import chol_solve_sample_pallas_blast
 from bpmf_tpu.ops.update import chol_solve_sample
 
 
@@ -34,7 +31,7 @@ def test_pallas_solver_matches_xla(rng):
     noise = jnp.asarray(rng.normal(size=(b, k)), jnp.float32)
 
     want = np.asarray(chol_solve_sample(a, rhs, noise))
-    got = np.asarray(chol_solve_sample_pallas(a, rhs, noise, interpret=True))
+    got = np.asarray(chol_solve_sample_pallas_blast(a, rhs, noise, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
@@ -47,30 +44,5 @@ def test_pallas_solver_nondivisible_block(rng):
     rhs = jnp.asarray(rng.normal(size=(b, k)), jnp.float32)
     noise = jnp.zeros((b, k), jnp.float32)
     want = np.asarray(chol_solve_sample(a, rhs, noise))
-    got = np.asarray(chol_solve_sample_pallas(a, rhs, noise, interpret=True))
+    got = np.asarray(chol_solve_sample_pallas_blast(a, rhs, noise, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
-
-
-def test_gather_gram_kernel_interpret(rng):
-    """VMEM-table gather-Gram kernel (huge-sparse groundwork) vs numpy."""
-    from bpmf_tpu.ops.pallas_gram import gather_gram_pallas
-
-    r_rows, w, nv, k = 16, 32, 100, 8
-    nbr = rng.integers(0, nv, (r_rows, w)).astype(np.int32)
-    val = (rng.random((r_rows, w)) * 4 + 1).astype(np.float32)
-    mask = (rng.random((r_rows, w)) < 0.7).astype(np.float32)
-    table = rng.normal(size=(nv, k)).astype(np.float32)
-    g, rhs = gather_gram_pallas(
-        jnp.asarray(nbr), jnp.asarray(val), jnp.asarray(mask),
-        jnp.asarray(table), jnp.asarray(2.5, jnp.float32), 2.0,
-        interpret=True,
-    )
-    vg = table[nbr] * mask[..., None]
-    np.testing.assert_allclose(
-        np.asarray(g), np.einsum("rwk,rwl->rkl", vg, vg), rtol=1e-4, atol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(rhs),
-        np.einsum("rwk,rw->rk", vg, (val - 2.5) * mask * 2.0),
-        rtol=1e-4, atol=1e-4,
-    )
