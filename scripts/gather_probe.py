@@ -104,21 +104,22 @@ def probe_b(idx, table_t):
 
 
 # -- C: DMA assembly from HBM table --------------------------------------
-def kernel_c(idx_ref, table_hbm, out_ref, scratch, sems):
-    # one item row per grid step; W row-DMAs issued back-to-back, then wait
+def kernel_c(idx_ref, table_hbm, out_ref, scratch, sem):
+    # one item row per grid step; W row-DMAs issued back-to-back on one
+    # semaphore, then W waits drain them all
     def issue(w, _):
         pltpu.make_async_copy(
-            table_hbm.at[idx_ref[0, w]], scratch.at[w], sems.at[w % 16]
+            table_hbm.at[idx_ref[0, w]], scratch.at[w], sem
         ).start()
         return 0
     lax.fori_loop(0, W, issue, 0, unroll=8)
 
     def wait(w, _):
         pltpu.make_async_copy(
-            table_hbm.at[0], scratch.at[w], sems.at[w % 16]
+            table_hbm.at[0], scratch.at[w], sem
         ).wait()
         return 0
-    lax.fori_loop(0, 16, wait, 0)  # 16 sems, W/16 increments each... wait all
+    lax.fori_loop(0, W, wait, 0)
     out_ref[:] = jnp.sum(scratch[:], axis=0, keepdims=True)
 
 
@@ -136,7 +137,7 @@ def probe_c(idx, table):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((R, K), jnp.float32),
             scratch_shapes=[pltpu.VMEM((W, K), jnp.float32),
-                            pltpu.SemaphoreType.DMA((16,))],
+                            pltpu.SemaphoreType.DMA(())],
         )(idx, c)
         return c * (1.0 + 1e-30 * o[0, 0]), None
     return lax.scan(one, table, None, length=N_STEPS)[0]
