@@ -968,12 +968,19 @@ class BPMF:
         """
         import dataclasses
 
+        def fetch(mets) -> float:
+            # VALUE fetch, not block_until_ready: remote-execution runtimes
+            # can return from block before the computation finishes, and an
+            # ablated metric can constant-fold; the norm always depends on
+            # the full sweep
+            return float(np.asarray(jax.device_get(mets.norm_users)).ravel()[-1])
+
         def timed(sampler) -> float:
-            jax.block_until_ready(sampler.run_chunk(iters))
+            fetch(sampler.run_chunk(iters))
             best = float("inf")
             for _ in range(3):
                 t0 = tick()
-                jax.block_until_ready(sampler.run_chunk(iters))
+                fetch(sampler.run_chunk(iters))
                 best = min(best, tick() - t0)
             return best / iters
 
