@@ -39,16 +39,24 @@ def measure(train, test, k, iters, repeats=3):
     sampler = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
     sampler.setup()
 
+    import numpy as np
+
+    def fetch(mets):
+        # VALUE fetch: block_until_ready can return before remote
+        # execution finishes on tunneled runtimes; reading a value that
+        # depends on the whole sweep cannot
+        return float(np.asarray(jax.device_get(mets.norm_users)).ravel()[-1])
+
     # warmup twice: first call compiles, second recompiles once for the
     # donated-buffer layouts XLA chose for the outputs
-    jax.block_until_ready(sampler.run_chunk(iters))
-    jax.block_until_ready(sampler.run_chunk(iters))
+    fetch(sampler.run_chunk(iters))
+    fetch(sampler.run_chunk(iters))
 
     elapsed = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         metrics = sampler.run_chunk(iters)
-        jax.block_until_ready(metrics)
+        fetch(metrics)
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     num_items = sampler.users.num + sampler.movies.num
