@@ -107,10 +107,24 @@ def main() -> None:
     r = measure(train, test, k, min(iters, 100))
     print(json.dumps({"detail_chembl_synth": r}), file=sys.stderr)
 
-    # BASELINE config 5's regime: huge sparse (bucketed/hybrid path)
-    train, test = synth_movielens(
-        n_users=162_541, n_movies=59_047, n_ratings=25_000_000, seed=25
-    )
+    # BASELINE config 5's regime: huge sparse (dense8 path).  The 25M-nnz
+    # synthetic takes ~2 min to generate; cache it on disk (deterministic
+    # seed, so the cache is just a time saver).
+    import pickle
+
+    cache = "/tmp/bpmf_bench_ml25m.pkl"
+    try:
+        with open(cache, "rb") as f:
+            train, test = pickle.load(f)
+    except Exception:
+        train, test = synth_movielens(
+            n_users=162_541, n_movies=59_047, n_ratings=25_000_000, seed=25
+        )
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump((train, test), f)
+        except OSError:
+            pass
     r = measure(train, test, k, 20, repeats=2)
     print(json.dumps({"detail_ml25m_synth": r}), file=sys.stderr)
 
