@@ -70,19 +70,35 @@ def test_two_process_trajectory_matches_single_process(tmp_path):
             env.pop("BPMF_DIST", None)
         return env
 
-    # two processes x 2 local devices -> one 4-device mesh
-    procs = [_run_proc(common, env_for(pid, 2, 2)) for pid in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=300)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-    for rc, out, err in outs:
-        assert rc == 0, f"multihost process failed:\n{err[-3000:]}"
+    # two processes x 2 local devices -> one 4-device mesh; one retry with
+    # a fresh port in case another process grabbed it between probe and use
+    for attempt in range(2):
+        nonlocal_port = _free_port() if attempt else port
+
+        def env2(pid):
+            e = env_for(pid, 2, 2)
+            e["BPMF_DIST"] = f"127.0.0.1:{nonlocal_port},2,{pid}"
+            return e
+
+        procs = [_run_proc(common, env2(pid)) for pid in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append((p.returncode, out, err))
+        if all(rc == 0 for rc, _, _ in outs):
+            break
+        if attempt == 0 and any(
+            "Failed to connect" in err or "address" in err.lower()
+            for _, _, err in outs
+        ):
+            continue
+        for rc, out, err in outs:
+            assert rc == 0, f"multihost process failed:\n{err[-3000:]}"
 
     traj_mh = _trajectory(outs[0][1])  # rank 0 speaks
     assert len(traj_mh) == 6  # iterations 0..5
