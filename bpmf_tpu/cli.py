@@ -89,7 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume a run from a checkpoint file")
     p.add_argument("--ablate", default="",
                    choices=["", "nogather", "nogram", "nomatmul", "nosolve",
-                            "nopredict"],
+                            "nopredict", "nohyper", "nonoise"],
                    help="perf-debug: skip a sweep phase to isolate its cost")
     p.add_argument("--dist", default="", metavar="HOST:PORT,NPROC,PID",
                    help="join a multi-host run: coordinator address, total "

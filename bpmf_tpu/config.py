@@ -97,7 +97,8 @@ class Config:
             raise ValueError(f"bad gram_impl {self.gram_impl!r}")
         if self.matmul_dtype not in ("auto", "bfloat16", "float32"):
             raise ValueError(f"bad matmul_dtype {self.matmul_dtype!r}")
-        allowed = {"nogather", "nogram", "nomatmul", "nosolve", "nopredict"}
+        allowed = {"nogather", "nogram", "nomatmul", "nosolve", "nopredict",
+                   "nohyper", "nonoise"}
         if self.ablate and not set(self.ablate.split(",")) <= allowed:
             raise ValueError(f"bad ablate {self.ablate!r}")
         if self.fuse_dense not in ("auto", "on", "off"):

@@ -157,7 +157,10 @@ def sweep_core(
         prop_mu=data.prop_mu, prop_lambda=data.prop_lambda,
         diagonal_only=diagonal_only, strict_reference=strict_reference,
     )
-    noise = item_noise(side_key, orig_ids, k, dtype, num=noise_num)
+    if "nonoise" in ablate.split(","):   # perf-debug
+        noise = jnp.zeros((orig_ids.shape[0], k), dtype)
+    else:
+        noise = item_noise(side_key, orig_ids, k, dtype, num=noise_num)
     if noise_scale != 1.0:  # test hook: deterministic posterior-mean checks
         noise = noise * noise_scale
     u = get_solver(solver)(precision, full_rhs, noise)

@@ -144,3 +144,38 @@ def sample_hyper(
     lam_u_tri = jnp.triu(lam_u)  # product of upper triangulars is upper
     lambda_f = lam_u_tri.T @ lam_u_tri
     return HyperParams(mu=mu, lambda_f=lambda_f, lambda_l=lam_u_tri.T)
+
+
+def sample_hyper_pair(
+    keys: jax.Array,       # [2] PRNG keys (one per side)
+    ns: tuple[int, int],   # item counts (static)
+    item_sums: jax.Array,  # [2, K]
+    item_covs: jax.Array,  # [2, K, K]
+) -> tuple[HyperParams, HyperParams]:
+    """Both sides' hyperprior draws in ONE vmapped chain.
+
+    The two draws are independent (each conditions only on its own side's
+    previous-iteration stats), but sampled separately they serialize ~15
+    small [K, K] ops each on the TPU — measured 0.16 ms of the 1.13 ms
+    ml-1m iteration.  vmap halves the op launches; per-side streams are
+    the same as the unbatched calls (vmap of jax.random primitives applies
+    each key exactly as the unbatched op would)."""
+    n_f = jnp.asarray(ns, item_sums.dtype)
+
+    def one(key, n_f1, s, cov):
+        k = s.shape[-1]
+        dtype = s.dtype
+        mu0 = jnp.zeros((k,), dtype)
+        eye = jnp.eye(k, dtype=dtype)
+        mu, lam_u = cond_normal_wishart(
+            key, n_f1, cov, s / n_f1, mu0, 2.0, eye, float(k)
+        )
+        lam_u_tri = jnp.triu(lam_u)
+        lambda_f = lam_u_tri.T @ lam_u_tri
+        return HyperParams(mu=mu, lambda_f=lambda_f, lambda_l=lam_u_tri.T)
+
+    pair = jax.vmap(one)(keys, n_f, item_sums, item_covs)
+    return (
+        jax.tree_util.tree_map(lambda x: x[0], pair),
+        jax.tree_util.tree_map(lambda x: x[1], pair),
+    )

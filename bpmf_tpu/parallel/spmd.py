@@ -36,7 +36,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from bpmf_tpu.models.bpmf import SideData, SideState, sweep_core
-from bpmf_tpu.ops.mvnormal import sample_hyper
+from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
 from bpmf_tpu.ops.cholsolve import get_solver
 from bpmf_tpu.ops.update import (
     BucketDev,
@@ -46,6 +46,26 @@ from bpmf_tpu.ops.update import (
 )
 
 AXIS = "i"
+
+
+def _hyper(key, num, state, ablate):
+    """sample_hyper, or the fixed init value under ablate='nohyper'
+    (perf-debug: isolates the hyperprior resample's small-op chain)."""
+    from bpmf_tpu.ops.mvnormal import HyperParams
+
+    if "nohyper" in ablate.split(","):
+        k = state.sum.shape[-1]
+        return HyperParams.init(k, state.sum.dtype)
+    return sample_hyper(key, num, state.sum, state.cov)
+
+
+def _noise(side_key, ids, k, dtype, num, ablate):
+    """item_noise, or zeros under ablate='nonoise' (perf-debug: isolates
+    the per-side threefry noise table)."""
+    if "nonoise" in ablate.split(","):
+        return jnp.zeros((ids.shape[0], k), dtype)
+    return item_noise(side_key, ids, k, dtype, num=num)
+
 
 
 def _bucket_specs():
@@ -84,10 +104,12 @@ def gather_half_sweep(
     solver: str = "unrolled",
     matmul_dtype: str = "float32",
     ablate: str = "",
+    hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
 ) -> SideState:
     """Value-exchange half-sweep (Sys::sample + bcast-family comm)."""
     dtype = other_items.dtype
-    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    if hp is None:
+        hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
 
     has_aggr = state.aggr_mu is not None
@@ -200,6 +222,7 @@ def dense_half_sweep(
     solver: str = "xla",
     matmul_dtype: str = "float32",
     ablate: str = "",
+    hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
 ) -> SideState:
     """Dense-adjacency half-sweep: computeMuLambda as two MXU matmuls
     (see partition.build_dense_layout).  No gathers, no scatters — the
@@ -214,7 +237,8 @@ def dense_half_sweep(
     end-to-end on ml-1m synth)."""
     dtype = other_items.dtype
     k = other_items.shape[-1]
-    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    if hp is None:
+        hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
 
     has_aggr = state.aggr_mu is not None
@@ -257,7 +281,7 @@ def dense_half_sweep(
             diagonal_only=diagonal_only,
             strict_reference=strict_reference,
         )
-        noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
+        noise = _noise(side_key, local_orig_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
         if "nosolve" in ablate.split(","):
@@ -344,6 +368,7 @@ def dense_half_sweep_fused(
     noise_scale: float,
     interpret: bool = False,
     ablate: str = "",
+    hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
 ) -> SideState:
     """Dense half-sweep with the packed-triangle fused solve
     (ops/pallas_solve.tri_combine_solve_sample).
@@ -365,7 +390,8 @@ def dense_half_sweep_fused(
 
     dtype = other_items.dtype
     k = other_items.shape[-1]
-    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    if hp is None:
+        hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
     md = a_ind_t.dtype
     # TIGHT triangle for the Gram matmul (no per-column pad flops); the
@@ -405,7 +431,7 @@ def dense_half_sweep_fused(
             rhs = jax.lax.optimization_barrier(rhs)
         prior_rhs = hp.lambda_f @ hp.mu                          # [K]
         rhs_full_t = rhs.T + prior_rhs[:, None]                  # [K, I]
-        noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
+        noise = _noise(side_key, local_orig_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
         if "nosolve" in ablate.split(","):                       # perf-debug
@@ -492,6 +518,7 @@ def reduce_half_sweep_chunked(
     solver: str = "unrolled",
     matmul_dtype: str = "float32",
     ablate: str = "",
+    hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
 ) -> SideState:
     """Statistic-exchange half-sweep with O(local_pad * K^2) peak memory.
 
@@ -508,7 +535,8 @@ def reduce_half_sweep_chunked(
     dtype = other_items.dtype
     k = other_items.shape[-1]
     n_dev = mesh.devices.size
-    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    if hp is None:
+        hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
 
     has_aggr = state.aggr_mu is not None
@@ -564,7 +592,7 @@ def reduce_half_sweep_chunked(
             diagonal_only=diagonal_only,
             strict_reference=strict_reference,
         )
-        noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
+        noise = _noise(side_key, local_orig_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
         u = get_solver(solver)(precision, full_rhs, noise)
@@ -654,6 +682,7 @@ def dense8_half_sweep(
     matmul_dtype,
     interpret: bool = False,
     ablate: str = "",
+    hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
 ) -> SideState:
     """int8 dense-stream half-sweep (ops/dense8): single-chip only, no
     exchange — the one shared code array serves both sides.  Math is the
@@ -671,7 +700,8 @@ def dense8_half_sweep(
 
     dtype = other_items.dtype
     k = other_items.shape[-1]
-    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    if hp is None:
+        hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
     lo = local_orig[0]
     lv = local_valid[0]
@@ -700,7 +730,7 @@ def dense8_half_sweep(
     gram_t = gram_t.astype(dtype)
     prior_rhs = hp.lambda_f @ hp.mu                          # [K]
     rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]    # [K, I]
-    noise = item_noise(side_key, lo, k, dtype, num=num)
+    noise = _noise(side_key, lo, k, dtype, num, ablate)
     if noise_scale != 1.0:
         noise = noise * noise_scale
     if "nosolve" in ablate.split(","):                           # perf-debug
@@ -751,6 +781,7 @@ def dense8_half_sweep_sharded(
     matmul_dtype,
     interpret: bool = False,
     ablate: str = "",
+    hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
 ) -> SideState:
     """Multi-chip int8 dense-stream half-sweep: the code array is sharded
     by USER rows, so each device streams only its [R/D, C] int8 shard —
@@ -782,7 +813,8 @@ def dense8_half_sweep_sharded(
 
     dtype = other_items.dtype
     k = other_items.shape[-1]
-    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    if hp is None:
+        hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
     has_aggr = state.aggr_mu is not None
 
@@ -790,7 +822,7 @@ def dense8_half_sweep_sharded(
         gram_t = tri_expand_rows(gram_tight_t, k).astype(dtype)
         prior_rhs = hp.lambda_f @ hp.mu
         rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]
-        noise = item_noise(side_key, lo_l, k, dtype, num=num)
+        noise = _noise(side_key, lo_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
         u_t = tri_combine_solve_sample(
@@ -896,11 +928,13 @@ def reduce_half_sweep(
     solver: str = "unrolled",
     matmul_dtype: str = "float32",
     ablate: str = "",
+    hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
 ) -> SideState:
     """Statistic-exchange half-sweep (ENABLE_REDUCE family)."""
     dtype = other_items.dtype
     k = other_items.shape[-1]
-    hp = sample_hyper(jax.random.fold_in(key, 0), num, state.sum, state.cov)
+    if hp is None:
+        hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
 
     has_aggr = state.aggr_mu is not None
@@ -946,7 +980,7 @@ def reduce_half_sweep(
             diagonal_only=diagonal_only,
             strict_reference=strict_reference,
         )
-        noise = item_noise(side_key, local_orig_l, k, dtype, num=num)
+        noise = _noise(side_key, local_orig_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
         u = get_solver(solver)(precision, full_rhs, noise)

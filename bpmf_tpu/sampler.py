@@ -269,8 +269,9 @@ class BPMF:
             # attribution measures THIS path, not a fallback (the sharded
             # variant implements only nopredict)
             and cfg.ablate in (
-                ("", "nopredict", "nomatmul", "nosolve")
-                if self.n_devices == 1 else ("", "nopredict")
+                ("", "nopredict", "nomatmul", "nosolve", "nohyper", "nonoise")
+                if self.n_devices == 1
+                else ("", "nopredict", "nohyper", "nonoise")
             )
             and tri_fused_supported(cfg.num_latent)
         )
@@ -434,7 +435,8 @@ class BPMF:
             eligible = (
                 tri_fused_supported(cfg.num_latent)
                 and not cfg.diagonal_only
-                and cfg.ablate in ("", "nopredict", "nomatmul", "nosolve")
+                and cfg.ablate in ("", "nopredict", "nomatmul", "nosolve",
+                                   "nohyper", "nonoise")
                 and side.prop_mu is None
                 and self.solver in ("smart", "pallas")
             )
@@ -551,7 +553,7 @@ class BPMF:
         )
 
         def sweep(state, gdata, rdata, dense, maps, other_items, key, it,
-                  side: Side, codes=None):
+                  side: Side, codes=None, hp=None):
             # maps = (local_orig, local_valid): passed as jit arguments, not
             # closures — closed-over sharded arrays are rejected in
             # multi-process runs (they span non-addressable devices)
@@ -576,6 +578,7 @@ class BPMF:
                     matmul_dtype=md,
                     interpret=self._d8_interpret,
                     ablate=cfg.ablate,
+                    hp=hp,
                 )
             if side.impl == "dense" and aux["fused"]:
                 return dense_half_sweep_fused(
@@ -588,6 +591,7 @@ class BPMF:
                     noise_scale=1.0,
                     interpret=self._fuse_interpret,
                     ablate=cfg.ablate,
+                    hp=hp,
                 )
             if side.impl == "dense":
                 kw = dict(common)
@@ -599,6 +603,7 @@ class BPMF:
                     num=side.num,
                     local_orig=local_orig,
                     local_valid=local_valid,
+                    hp=hp,
                     **kw,
                 )
             if mode == "reduce" and side.reduce_chunked is not None:
@@ -609,6 +614,7 @@ class BPMF:
                     splits_per_dest=side.chunked_splits,
                     local_orig=local_orig,
                     local_valid=local_valid,
+                    hp=hp,
                     **common,
                 )
             if mode == "reduce":
@@ -619,24 +625,45 @@ class BPMF:
                     local_orig=local_orig,
                     local_valid=local_valid,
                     splits=side.reduce.splits,
+                    hp=hp,
                     **common,
                 )
             return gather_half_sweep(
                 mesh, state, gdata, other_items, key, it,
-                num=side.num, splits=side.gather.splits, **common,
+                num=side.num, splits=side.gather.splits, hp=hp, **common,
             )
 
         def _iter(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
                   ev, key, it, m_dense=None, u_dense=None, codes=None,
                   m_maps=None, u_maps=None):
             key_it = jax.random.fold_in(key, it)
+            # both sides' hyperprior draws in one vmapped chain (they
+            # condition only on the previous iteration's stats; sampled
+            # inside the sweeps they serialize ~30 tiny ops — measured
+            # 0.16 ms of the 1.13 ms ml-1m iteration).  Same per-side key
+            # streams as the in-sweep draws they replace.
+            if "nohyper" in cfg.ablate.split(","):
+                hp_m = hp_u = None
+            else:
+                from bpmf_tpu.ops.mvnormal import sample_hyper_pair
+
+                k_m = jax.random.fold_in(jax.random.fold_in(key_it, 0), 0)
+                k_u = jax.random.fold_in(jax.random.fold_in(key_it, 1), 0)
+                hp_m, hp_u = sample_hyper_pair(
+                    jnp.stack([k_m, k_u]),
+                    (self.movies.num, self.users.num),
+                    jnp.stack([state_m.sum, state_u.sum]),
+                    jnp.stack([state_m.cov, state_u.cov]),
+                )
             state_m = sweep(
                 state_m, m_gdata, m_rdata, m_dense, m_maps, state_u.items,
                 jax.random.fold_in(key_it, 0), it, self.movies, codes=codes,
+                hp=hp_m,
             )
             state_u = sweep(
                 state_u, u_gdata, u_rdata, u_dense, u_maps, state_m.items,
                 jax.random.fold_in(key_it, 1), it, self.users, codes=codes,
+                hp=hp_u,
             )
             if "nopredict" in cfg.ablate.split(","):  # perf-debug
                 est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
@@ -986,7 +1013,7 @@ class BPMF:
 
         full = timed(self)  # post-run: extra chain steps are harmless
         impls = {self.users.impl, self.movies.impl}
-        variants = ["nopredict", "nosolve", "nomatmul"]
+        variants = ["nopredict", "nosolve", "nomatmul", "nohyper", "nonoise"]
         if "bucketed" in impls:
             variants.append("nogather")
         names = {
@@ -994,6 +1021,8 @@ class BPMF:
             "nosolve": "cholesky-solve-sample",
             "nomatmul": "gram matmul",
             "nogather": "neighbor gather",
+            "nohyper": "hyperprior resample",
+            "nonoise": "noise tables",
         }
         lines = [
             f"sweep phase attribution (device-synced, {iters}-iter chunks):",
