@@ -40,6 +40,8 @@ __all__ = [
     "tri_offsets",
     "tri_index_pairs",
     "tri_combine_solve_sample",
+    "pack_prior_tri",
+    "prior_rhs_from_tri",
 ]
 
 def _kernel_blast(prec_ref, rhs_ref, noise_ref, out_ref, *, k: int):
@@ -287,11 +289,18 @@ def _kernel_tri_fused(lam_ref, gtri_ref, rhs_ref, noise_ref, out_ref,
         # the slice form stays a plain slice
         acols.append(lam[:, j : j + 1] + alpha * seg)    # [K, B]
 
-    # Right-looking Cholesky over the COLUMN LIST: step j downdates only
-    # the k-1-j trailing columns ([K, B] each), not the full [K, K, B]
-    # working matrix — half the VPU traffic of the dense-update variant
-    # (measured 0.37 -> ~0.25 ms on the ml-1m sweep).  A pre-masked column
-    # keeps the update self-masking exactly as before.
+    out_ref[:] = _chol_solve_tail(acols, y, noise, k).astype(out_ref.dtype)
+
+
+def _chol_solve_tail(acols, y, noise, k: int):
+    """Shared tail of the fused tri kernels: column-list Cholesky, the two
+    triangular substitutions, and the MVN draw.
+
+    Right-looking Cholesky over the COLUMN LIST: step j downdates only
+    the k-1-j trailing columns ([K, B] each), not the full [K, K, B]
+    working matrix — half the VPU traffic of the dense-update variant
+    (measured 0.37 -> ~0.25 ms on the ml-1m sweep).  A pre-masked column
+    keeps the update self-masking exactly as before."""
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
     lcols = []
     for j in range(k):
@@ -314,13 +323,43 @@ def _kernel_tri_fused(lam_ref, gtri_ref, rhs_ref, noise_ref, out_ref,
         xj = y[j, :] / l[j, j, :]
         y = jnp.where(rows2 < j, y - l[j, :, :] * xj[None, :], y)
         y = jnp.where(rows2 == j, xj[None, :], y)
-    out_ref[:] = y.astype(out_ref.dtype)
+    return y
 
 
-def tri_fused_supported(k: int) -> bool:
-    """VMEM budget check for the fused tri kernel at lane block 128."""
+def _kernel_tri_fused_peritem(lamtri_ref, gtri_ref, rhs_ref, noise_ref,
+                              out_ref, *, k: int, alpha: float):
+    """Fused solve with a PER-ITEM prior precision: the propagated-posterior
+    path (-m/-l, c++/sample.cpp:272-283) on the fast sweeps.  The prior
+    arrives as a second packed-triangle batch-last tile ([T, B], same
+    aligned layout as the Gram) and the combine is
+    a_b = Lambda_prior_b + alpha * Gram_b on the VMEM tile."""
+    g = gtri_ref[:].astype(jnp.float32)      # [T, B]
+    lt = lamtri_ref[:].astype(jnp.float32)   # [T, B]
+    y = rhs_ref[:].astype(jnp.float32)       # [K, B]
+    noise = noise_ref[:].astype(jnp.float32)
+    b = g.shape[1]
+    offs, _ = tri_offsets(k)
+
+    acols = []
+    for j in range(k):
+        seg = (lt[offs[j] : offs[j] + (k - j)]
+               + alpha * g[offs[j] : offs[j] + (k - j)])  # [k-j, B]
+        if j:
+            seg = jnp.concatenate(
+                [jnp.zeros((j, b), jnp.float32), seg], axis=0
+            )
+        acols.append(seg)                                 # [K, B]
+
+    out_ref[:] = _chol_solve_tail(acols, y, noise, k).astype(out_ref.dtype)
+
+
+def tri_fused_supported(k: int, peritem: bool = False) -> bool:
+    """VMEM budget check for the fused tri kernel at lane block 128;
+    ``peritem`` accounts for the extra [T, B] prior tile of the
+    propagated-posterior variant."""
     _, t_total = tri_offsets(k)
-    return (t_total + 3 * k * k) * 128 * 4 <= 11 * 1024 * 1024
+    t_eff = t_total * (2 if peritem else 1)
+    return (t_eff + 3 * k * k) * 128 * 4 <= 11 * 1024 * 1024
 
 
 def tri_combine_solve_sample(
@@ -330,12 +369,17 @@ def tri_combine_solve_sample(
     noise_t: jax.Array,     # [K, B] N(0, I) draws, batch-last
     alpha: float,
     interpret: bool = False,
+    lam_tri_t: jax.Array | None = None,  # [T, B] per-item prior precision
+                                         # (packed, batch-last); overrides lam
 ) -> jax.Array:
-    """u_t [K, B] with (lam + alpha * Gram_b) u_b = rhs_b + L_b noise_b —
-    the whole per-item conditional tail (c++/sample.cpp:297-324) in one
-    VMEM pass."""
+    """u_t [K, B] with (Lambda_prior_b + alpha * Gram_b) u_b = rhs_b +
+    L_b noise_b — the whole per-item conditional tail
+    (c++/sample.cpp:297-324) in one VMEM pass.  Lambda_prior is the shared
+    ``lam`` [K, K], or per-item when ``lam_tri_t`` is given (the propagated
+    posterior of c++/sample.cpp:272-283, packed by :func:`pack_prior_tri`)."""
     k, b = rhs_t.shape
     t_total = gram_tri_t.shape[0]
+    peritem = lam_tri_t is not None
     # BPMF_TRI_BLOCK overrides the lane-block sweep (tuning knob; 1024 was
     # measured NO better than 512 on chembl — VMEM pressure eats the
     # per-block amortization)
@@ -343,9 +387,10 @@ def tri_combine_solve_sample(
 
     env_block = int(_os.environ.get("BPMF_TRI_BLOCK", "0"))
     budget = 11 * 1024 * 1024
+    t_eff = t_total * (2 if peritem else 1)
     block = 0
     for cand in ((env_block,) if env_block else (512, 256, 128)):
-        if (t_total + 3 * k * k) * cand * 4 <= budget * (
+        if (t_eff + 3 * k * k) * cand * 4 <= budget * (
             2 if cand >= 1024 else 1
         ):
             block = cand
@@ -357,23 +402,85 @@ def tri_combine_solve_sample(
         gram_tri_t = jnp.pad(gram_tri_t, ((0, 0), (0, pad)))
         rhs_t = jnp.pad(rhs_t, ((0, 0), (0, pad)))
         noise_t = jnp.pad(noise_t, ((0, 0), (0, pad)))
+        if peritem:
+            # identity prior in padding lanes keeps the Cholesky valid
+            eye_tri = jnp.zeros((t_total, pad), lam_tri_t.dtype)
+            offs, _ = tri_offsets(k)
+            for j in range(k):
+                eye_tri = eye_tri.at[offs[j]].set(1.0)
+            lam_tri_t = jnp.concatenate([lam_tri_t, eye_tri], axis=1)
+    tri_spec = pl.BlockSpec((t_total, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((k, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    if peritem:
+        kernel = functools.partial(_kernel_tri_fused_peritem, k=k, alpha=alpha)
+        first_arg, first_spec = lam_tri_t, tri_spec
+    else:
+        kernel = functools.partial(_kernel_tri_fused, k=k, alpha=alpha)
+        first_arg = lam
+        first_spec = pl.BlockSpec((k, k), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel_tri_fused, k=k, alpha=alpha),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((k, bp), rhs_t.dtype),
         grid=(bp // block,),
-        in_specs=[
-            pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_total, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((k, block), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        in_specs=[first_spec, tri_spec, vec_spec, vec_spec],
+        out_specs=vec_spec,
         interpret=interpret,
-    )(lam, gram_tri_t, rhs_t, noise_t)
+    )(first_arg, gram_tri_t, rhs_t, noise_t)
     return out[:, :b]
+
+
+def pack_prior_tri(prop_lambda, k: int):
+    """[num, K, K] symmetric per-item prior precision -> [T, num] aligned
+    packed lower triangle, batch-last — the ``lam_tri_t`` operand of
+    :func:`tri_combine_solve_sample` (host-side, done once at setup; the
+    propagated posterior is constant across iterations)."""
+    import numpy as np
+
+    ii, jj = tri_index_pairs(k)
+    return np.ascontiguousarray(
+        np.asarray(prop_lambda)[:, ii, jj].T
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _prior_rhs_consts(k: int):
+    """Static operands for :func:`prior_rhs_from_tri`: row-routing one-hots
+    A, B [K, T] (padding rows zeroed) and the (ii, jj) index vectors."""
+    import numpy as np
+
+    ii, jj = tri_index_pairs(k)
+    offs, t_total = tri_offsets(k)
+    valid = np.zeros(t_total, bool)
+    for j in range(k):
+        valid[offs[j] : offs[j] + (k - j)] = True
+    a = np.zeros((k, t_total), np.float32)
+    a[ii, np.arange(t_total)] = valid
+    bmat = np.zeros((k, t_total), np.float32)
+    bmat[jj, np.arange(t_total)] = valid & (ii != jj)
+    return ii, jj, a, bmat
+
+
+def prior_rhs_from_tri(prior_tri_t: jax.Array, mu: jax.Array) -> jax.Array:
+    """Per-item prior rhs Lambda_i @ mu, [K, B], straight from the packed
+    triangle — avoids keeping the full [num, K, K] prior on device.  Used
+    by the strict_reference path where mu is the SHARED sampled hyper-mean
+    (the c++/sample.cpp:285 quirk), so the rhs changes every half-sweep.
+
+    For symmetric Lambda:  (Lambda mu)[r] = sum_{t: ii==r} tri[t] mu[jj[t]]
+    + sum_{t: jj==r, ii!=jj} tri[t] mu[ii[t]] — one [K, T] @ [T, B] matmul
+    against a mu-weighted routing matrix."""
+    k = mu.shape[0]
+    ii, jj, a, bmat = _prior_rhs_consts(k)
+    a = jnp.asarray(a, prior_tri_t.dtype)
+    bmat = jnp.asarray(bmat, prior_tri_t.dtype)
+    m1 = (a * jnp.take(mu, jnp.asarray(jj))[None, :]
+          + bmat * jnp.take(mu, jnp.asarray(ii))[None, :])   # [K, T]
+    # full f32 precision: this reproduces the generic path's f32 einsum
+    # (ops/update.posterior_precision_rhs); the matmul is tiny (K rows)
+    return jnp.matmul(m1, prior_tri_t, precision="highest",
+                      preferred_element_type=prior_tri_t.dtype)
 
 

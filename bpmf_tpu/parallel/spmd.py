@@ -369,6 +369,12 @@ def dense_half_sweep_fused(
     interpret: bool = False,
     ablate: str = "",
     hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
+    prior_tri_t: Optional[jax.Array] = None,   # [T, D*local_pad] per-item
+                                               # prior precision, packed
+                                               # (pack_prior_tri), item-sharded
+    prior_rhs_t: Optional[jax.Array] = None,   # [K, D*local_pad] static prior
+                                               # rhs (strict_reference=False);
+                                               # None = derive from hp.mu
 ) -> SideState:
     """Dense half-sweep with the packed-triangle fused solve
     (ops/pallas_solve.tri_combine_solve_sample).
@@ -401,9 +407,11 @@ def dense_half_sweep_fused(
     tri_j = jnp.asarray(tri_j_np)
 
     has_aggr = state.aggr_mu is not None
+    has_prior = prior_tri_t is not None
+    has_static_rhs = prior_rhs_t is not None
 
     def body(aggr_mu_l, aggr_prod_l, other_l, local_orig_l, local_valid_l,
-             a_ind_t_l, a_val_l):
+             a_ind_t_l, a_val_l, prior_tri_l, prior_rhs_l):
         local_orig_l = local_orig_l[0]
         local_valid_l = local_valid_l[0]
 
@@ -429,8 +437,18 @@ def dense_half_sweep_fused(
             # and picks the M=32 output orientation, which starves the MXU
             # (measured 0.07 vs 0.02 ms on ml-1m)
             rhs = jax.lax.optimization_barrier(rhs)
-        prior_rhs = hp.lambda_f @ hp.mu                          # [K]
-        rhs_full_t = rhs.T + prior_rhs[:, None]                  # [K, I]
+        if has_prior:
+            # per-item propagated prior (c++/sample.cpp:272-283): static
+            # rhs when available (strict_reference=False), else the shared
+            # sampled hyper-mean quirk Lambda_i @ hp.mu (c++/sample.cpp:285)
+            from bpmf_tpu.ops.pallas_solve import prior_rhs_from_tri
+
+            prior_rhs = (prior_rhs_l if has_static_rhs
+                         else prior_rhs_from_tri(prior_tri_l, hp.mu))
+            rhs_full_t = rhs.T + prior_rhs                       # [K, I]
+        else:
+            prior_rhs = hp.lambda_f @ hp.mu                      # [K]
+            rhs_full_t = rhs.T + prior_rhs[:, None]              # [K, I]
         noise = _noise(side_key, local_orig_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
@@ -440,6 +458,7 @@ def dense_half_sweep_fused(
             u_t = tri_combine_solve_sample(
                 gram_tri_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
                 interpret=interpret,
+                lam_tri_t=prior_tri_l if has_prior else None,
             )                                                    # [K, I]
         u = u_t.T
 
@@ -465,6 +484,8 @@ def dense_half_sweep_fused(
         P(AXIS, None),            # local_valid
         P(None, AXIS),            # transposed indicator block
         P(AXIS, None),            # row-major value block
+        P(None, AXIS) if has_prior else P(),       # packed per-item prior
+        P(None, AXIS) if has_static_rhs else P(),  # static prior rhs
     )
     out_specs = (
         P(AXIS, None),
@@ -486,6 +507,8 @@ def dense_half_sweep_fused(
         local_valid,
         a_ind_t,
         a_val,
+        prior_tri_t,
+        prior_rhs_t,
     )
 
     n_f = jnp.asarray(num, dtype)
@@ -683,6 +706,10 @@ def dense8_half_sweep(
     interpret: bool = False,
     ablate: str = "",
     hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
+    prior_tri_t: Optional[jax.Array] = None,   # [T, padded_num] per-item
+                                               # prior (pack_prior_tri)
+    prior_rhs_t: Optional[jax.Array] = None,   # [K, padded_num] static rhs
+                                               # (strict_reference=False)
 ) -> SideState:
     """int8 dense-stream half-sweep (ops/dense8): single-chip only, no
     exchange — the one shared code array serves both sides.  Math is the
@@ -728,8 +755,16 @@ def dense8_half_sweep(
 
         gram_t = tri_expand_rows(gram_t, k)
     gram_t = gram_t.astype(dtype)
-    prior_rhs = hp.lambda_f @ hp.mu                          # [K]
-    rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]    # [K, I]
+    if prior_tri_t is not None:
+        # per-item propagated prior (c++/sample.cpp:272-283)
+        from bpmf_tpu.ops.pallas_solve import prior_rhs_from_tri
+
+        prior_rhs = (prior_rhs_t if prior_rhs_t is not None
+                     else prior_rhs_from_tri(prior_tri_t, hp.mu))
+        rhs_full_t = rhs_t.astype(dtype) + prior_rhs             # [K, I]
+    else:
+        prior_rhs = hp.lambda_f @ hp.mu                          # [K]
+        rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]    # [K, I]
     noise = _noise(side_key, lo, k, dtype, num, ablate)
     if noise_scale != 1.0:
         noise = noise * noise_scale
@@ -738,7 +773,7 @@ def dense8_half_sweep(
     else:
         u_t = tri_combine_solve_sample(
             gram_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
-            interpret=interpret,
+            interpret=interpret, lam_tri_t=prior_tri_t,
         )                                                    # [K, I]
     u = u_t.T
 
@@ -782,6 +817,10 @@ def dense8_half_sweep_sharded(
     interpret: bool = False,
     ablate: str = "",
     hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
+    prior_tri_t: Optional[jax.Array] = None,   # [T, padded_num] per-item
+                                               # prior, item-sharded dim 1
+    prior_rhs_t: Optional[jax.Array] = None,   # [K, padded_num] static rhs
+                                               # (strict_reference=False)
 ) -> SideState:
     """Multi-chip int8 dense-stream half-sweep: the code array is sharded
     by USER rows, so each device streams only its [R/D, C] int8 shard —
@@ -817,17 +856,28 @@ def dense8_half_sweep_sharded(
         hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
     has_aggr = state.aggr_mu is not None
+    has_prior = prior_tri_t is not None
+    has_static_rhs = prior_rhs_t is not None
 
-    def tail(gram_tight_t, rhs_t, lo_l, lv_l, aggr_mu_l, aggr_prod_l):
+    def tail(gram_tight_t, rhs_t, lo_l, lv_l, aggr_mu_l, aggr_prod_l,
+             prior_tri_l, prior_rhs_l):
         gram_t = tri_expand_rows(gram_tight_t, k).astype(dtype)
-        prior_rhs = hp.lambda_f @ hp.mu
-        rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]
+        if has_prior:
+            from bpmf_tpu.ops.pallas_solve import prior_rhs_from_tri
+
+            prior_rhs = (prior_rhs_l if has_static_rhs
+                         else prior_rhs_from_tri(prior_tri_l, hp.mu))
+            rhs_full_t = rhs_t.astype(dtype) + prior_rhs
+        else:
+            prior_rhs = hp.lambda_f @ hp.mu
+            rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]
         noise = _noise(side_key, lo_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
         u_t = tri_combine_solve_sample(
             gram_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
             interpret=interpret,
+            lam_tri_t=prior_tri_l if has_prior else None,
         )
         u = u_t.T
         uv = u * lv_l[:, None]
@@ -846,7 +896,8 @@ def dense8_half_sweep_sharded(
 
     if orientation == "rows":
 
-        def body(aggr_mu_l, aggr_prod_l, codes_l, other_l, lo_l, lv_l):
+        def body(aggr_mu_l, aggr_prod_l, codes_l, other_l, lo_l, lv_l,
+                 prior_tri_l, prior_rhs_l):
             other_full = lax.all_gather(other_l, AXIS, tiled=True)  # [C, K]
             v_t = other_full.T.astype(matmul_dtype)
             p_t = packed_tri_t(other_full.T).astype(matmul_dtype)
@@ -854,11 +905,12 @@ def dense8_half_sweep_sharded(
                 codes_l, p_t, v_t, cs, cb, interpret=interpret
             )                                    # [T_tight, R/D], [K, R/D]
             return tail(gram_t, rhs_t, lo_l[0], lv_l[0],
-                        aggr_mu_l, aggr_prod_l)
+                        aggr_mu_l, aggr_prod_l, prior_tri_l, prior_rhs_l)
 
     else:
 
-        def body(aggr_mu_l, aggr_prod_l, codes_l, other_l, lo_l, lv_l):
+        def body(aggr_mu_l, aggr_prod_l, codes_l, other_l, lo_l, lv_l,
+                 prior_tri_l, prior_rhs_l):
             # frozen users rows on this device line up with the code shard
             # rows — no gather at all
             v_t = other_l.T.astype(matmul_dtype)
@@ -872,7 +924,7 @@ def dense8_half_sweep_sharded(
                 both, AXIS, scatter_dimension=1, tiled=True
             )                                    # [T_tight+K, C/D]
             return tail(both[:t_rows], both[t_rows:], lo_l[0], lv_l[0],
-                        aggr_mu_l, aggr_prod_l)
+                        aggr_mu_l, aggr_prod_l, prior_tri_l, prior_rhs_l)
 
     aggr_spec = P(AXIS, None) if has_aggr else P()
     aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
@@ -883,6 +935,8 @@ def dense8_half_sweep_sharded(
         P(AXIS, None),           # frozen side items
         P(AXIS, None),           # local_orig
         P(AXIS, None),           # local_valid
+        P(None, AXIS) if has_prior else P(),       # packed per-item prior
+        P(None, AXIS) if has_static_rhs else P(),  # static prior rhs
     )
     out_specs = (
         P(AXIS, None),
@@ -896,7 +950,7 @@ def dense8_half_sweep_sharded(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )(state.aggr_mu, state.aggr_prod, codes, other_items,
-      local_orig, local_valid)
+      local_orig, local_valid, prior_tri_t, prior_rhs_t)
 
     n_f = jnp.asarray(num, dtype)
     cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)

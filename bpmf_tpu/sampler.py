@@ -116,9 +116,9 @@ class Side:
             for b in buckets
         )
 
-    def _prop_dev(self, dtype, shard, num_latent):
-        if self.prop_mu is None:
-            return None, None
+    def prop_padded_np(self, num_latent: int):
+        """Propagated posterior in padded device order; padding slots get an
+        identity precision and zero mean (their draws are masked out)."""
         k = num_latent
         pn = self.maps.padded_num
         pm = np.zeros((pn, k), self.prop_mu.dtype)
@@ -126,13 +126,26 @@ class Side:
         idx = self.maps.orig_to_padded
         pm[idx] = self.prop_mu
         pl[idx] = self.prop_lambda
+        return pm, pl
+
+    def _prop_dev(self, dtype, shard, num_latent):
+        if self.prop_mu is None:
+            return None, None
+        pm, pl = self.prop_padded_np(num_latent)
         return (
             shard(jnp.asarray(pm, dtype), 0),
             shard(jnp.asarray(pl, dtype), 0),
         )
 
-    def device_data(self, dtype, shard, num_latent, mode: str):
-        prop_mu, prop_lambda = self._prop_dev(dtype, shard, num_latent)
+    def device_data(self, dtype, shard, num_latent, mode: str,
+                    skip_prop: bool = False):
+        """``skip_prop``: the side's sweep consumes the propagated posterior
+        through the packed-triangle operands (sampler aux 'prior') instead —
+        don't upload the [num_pad, K, K] form at all."""
+        if skip_prop:
+            prop_mu, prop_lambda = None, None
+        else:
+            prop_mu, prop_lambda = self._prop_dev(dtype, shard, num_latent)
         gather_data = SideData(
             buckets=(
                 self._buckets_dev(self.gather.buckets, dtype, shard)
@@ -292,7 +305,14 @@ class BPMF:
             )
 
         def d8_side_ok(side: Side) -> bool:
-            if not d8_ok or side.prop_mu is not None:
+            if not d8_ok:
+                return False
+            if side.prop_mu is not None and not tri_fused_supported(
+                cfg.num_latent, peritem=True
+            ):
+                # the propagated posterior rides the fused solver as a
+                # second [T, B] VMEM tile (ops/pallas_solve, per-item
+                # variant); fall back when K doesn't fit that budget
                 return False
             if cfg.gram_impl == "dense8":
                 return True
@@ -437,7 +457,10 @@ class BPMF:
                 and not cfg.diagonal_only
                 and cfg.ablate in ("", "nopredict", "nomatmul", "nosolve",
                                    "nohyper", "nonoise")
-                and side.prop_mu is None
+                # propagated posterior rides the fused solver as a second
+                # [T, B] VMEM tile (per-item prior variant) when K fits
+                and (side.prop_mu is None
+                     or tri_fused_supported(cfg.num_latent, peritem=True))
                 and self.solver in ("smart", "pallas")
             )
             if cfg.fuse_dense == "on":
@@ -447,13 +470,23 @@ class BPMF:
         self._fuse_interpret = (
             cfg.fuse_dense == "on" and jax.default_backend() != "tpu"
         )
+        def prior_fast(side: Side) -> bool:
+            # the side's sweep consumes the propagated posterior through the
+            # packed-triangle operands instead of the [num_pad, K, K] form
+            # (c++/sample.cpp:272-283 on the fast paths)
+            return side.prop_mu is not None and (
+                side.impl == "dense8" or fuse_ok(side)
+            )
+
         aggregate = bool(cfg.output_dir)
         with self.counters.scope("upload"):
             self.movies_gdata, self.movies_rdata = self.movies.device_data(
-                dtype, shard, cfg.num_latent, self.mode
+                dtype, shard, cfg.num_latent, self.mode,
+                skip_prop=prior_fast(self.movies),
             )
             self.users_gdata, self.users_rdata = self.users.device_data(
-                dtype, shard, cfg.num_latent, self.mode
+                dtype, shard, cfg.num_latent, self.mode,
+                skip_prop=prior_fast(self.users),
             )
 
         # per-side auxiliary maps (reduce + dense paths)
@@ -465,6 +498,33 @@ class BPMF:
                 dense=None,
             )
             aux["fused"] = fuse_ok(side)
+            aux["prior"] = (None, None)
+            if prior_fast(side):
+                # packed-triangle per-item prior precision [T, num_pad]
+                # (batch-last, item-sharded) + the static prior rhs when the
+                # mathematically-intended Lambda_i @ propMu_i applies
+                # (strict_reference=False); under the reference's
+                # c++/sample.cpp:285 quirk the rhs depends on the sampled
+                # hp.mu and is derived inside the sweep instead
+                from bpmf_tpu.ops.pallas_solve import pack_prior_tri
+
+                pm, pl = side.prop_padded_np(cfg.num_latent)
+
+                def shard_cols(x):
+                    return jax.device_put(
+                        x, NamedSharding(self.mesh, P(None, AXIS))
+                    )
+
+                prior_tri_t = shard_cols(
+                    jnp.asarray(pack_prior_tri(pl, cfg.num_latent), dtype)
+                )
+                prior_rhs_t = None
+                if not cfg.strict_reference:
+                    rhs_np = np.einsum("skl,sl->sk", pl, pm).T  # [K, pn]
+                    prior_rhs_t = shard_cols(
+                        jnp.asarray(np.ascontiguousarray(rhs_np), dtype)
+                    )
+                aux["prior"] = (prior_tri_t, prior_rhs_t)
             if side.impl == "dense8":
                 # the shared code array is passed ONCE as its own jit
                 # argument (self._codes) — passing the same buffer through
@@ -553,7 +613,7 @@ class BPMF:
         )
 
         def sweep(state, gdata, rdata, dense, maps, other_items, key, it,
-                  side: Side, codes=None, hp=None):
+                  side: Side, codes=None, hp=None, prior=(None, None)):
             # maps = (local_orig, local_valid): passed as jit arguments, not
             # closures — closed-over sharded arrays are rejected in
             # multi-process runs (they span non-addressable devices)
@@ -579,6 +639,8 @@ class BPMF:
                     interpret=self._d8_interpret,
                     ablate=cfg.ablate,
                     hp=hp,
+                    prior_tri_t=prior[0],
+                    prior_rhs_t=prior[1],
                 )
             if side.impl == "dense" and aux["fused"]:
                 return dense_half_sweep_fused(
@@ -592,6 +654,8 @@ class BPMF:
                     interpret=self._fuse_interpret,
                     ablate=cfg.ablate,
                     hp=hp,
+                    prior_tri_t=prior[0],
+                    prior_rhs_t=prior[1],
                 )
             if side.impl == "dense":
                 kw = dict(common)
@@ -635,7 +699,8 @@ class BPMF:
 
         def _iter(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
                   ev, key, it, m_dense=None, u_dense=None, codes=None,
-                  m_maps=None, u_maps=None):
+                  m_maps=None, u_maps=None, m_prior=(None, None),
+                  u_prior=(None, None)):
             key_it = jax.random.fold_in(key, it)
             # both sides' hyperprior draws in one vmapped chain (they
             # condition only on the previous iteration's stats; sampled
@@ -658,12 +723,12 @@ class BPMF:
             state_m = sweep(
                 state_m, m_gdata, m_rdata, m_dense, m_maps, state_u.items,
                 jax.random.fold_in(key_it, 0), it, self.movies, codes=codes,
-                hp=hp_m,
+                hp=hp_m, prior=m_prior,
             )
             state_u = sweep(
                 state_u, u_gdata, u_rdata, u_dense, u_maps, state_m.items,
                 jax.random.fold_in(key_it, 1), it, self.users, codes=codes,
-                hp=hp_u,
+                hp=hp_u, prior=u_prior,
             )
             if "nopredict" in cfg.ablate.split(","):  # perf-debug
                 est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
@@ -697,12 +762,14 @@ class BPMF:
         iter_impl = self._iter_impl
 
         def chunk(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
-                  ev, key, it0, m_dense, u_dense, codes, m_maps, u_maps):
+                  ev, key, it0, m_dense, u_dense, codes, m_maps, u_maps,
+                  m_prior, u_prior):
             def body(carry, j):
                 sm, su, e = carry
                 sm, su, e, met = iter_impl(
                     sm, su, e, m_gdata, m_rdata, u_gdata, u_rdata,
                     ev, key, it0 + j, m_dense, u_dense, codes, m_maps, u_maps,
+                    m_prior, u_prior,
                 )
                 return (sm, su, e), met
             (sm, su, e), mets = lax.scan(
@@ -726,6 +793,7 @@ class BPMF:
             self.ev, self.key, it0,
             self._aux["movs"]["dense"], self._aux["users"]["dense"],
             self._codes, self._maps_arg("movs"), self._maps_arg("users"),
+            self._aux["movs"]["prior"], self._aux["users"]["prior"],
         )
         self.iter += n
         return mets
@@ -840,6 +908,8 @@ class BPMF:
             self._codes,
             self._maps_arg("movs"),
             self._maps_arg("users"),
+            self._aux["movs"]["prior"],
+            self._aux["users"]["prior"],
         )
         return metrics
 

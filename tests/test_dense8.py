@@ -158,26 +158,38 @@ def test_forced_dense8_rejects_continuous_ratings():
         _run(train, test, "dense8")
 
 
-def test_dense8_with_prop_posterior_falls_back(tmp_path):
-    """A side with a propagated posterior keeps the generic path; the other
-    side may still use dense8."""
+def test_dense8_with_prop_posterior(tmp_path):
+    """A side with a propagated posterior STAYS on the coded path (round-2
+    gap: it used to fall back to the bucketed program): the per-item prior
+    rides the fused solver as a second packed-triangle VMEM tile
+    (ops/pallas_solve._kernel_tri_fused_peritem).  The trajectory matches
+    the uncoded dense path consuming the same posterior, in both the
+    strict-reference (c++/sample.cpp:285 shared-hp.mu quirk) and the
+    mathematically-intended prior-rhs modes."""
     train, test = synth_movielens(
         n_users=150, n_movies=100, n_ratings=2500, seed=6
     )
     # enough post-burnin samples (> K) that the finalized per-item
     # precision (inverse sample covariance) is well-defined
     s0, _ = _run(train, test, "auto", nsims=25, output_dir=str(tmp_path))
-    mu = tmp_path / "U-mu.ddm"
-    lam = tmp_path / "U-Lambda.ddm"
-    cfg = Config(
-        num_latent=16, nsims=4, burnin=1, gram_impl="dense8",
-        n_devices=1, prop_u=f"{mu},{lam}",
-    )
-    s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
-    rmse_avg = s.run()
-    assert np.isfinite(rmse_avg)
-    assert s.users.impl != "dense8"       # prop side fell back
-    assert s.movies.impl == "dense8"      # other side kept the coded path
+    prop = f"{tmp_path}/U-mu.ddm,{tmp_path}/U-Lambda.ddm"
+    for strict in (True, False):
+        s8, r8 = _run(train, test, "dense8", nsims=4,
+                      prop_u=prop, strict_reference=strict)
+        assert s8.users.impl == "dense8"      # prop side keeps the coded path
+        assert s8.movies.impl == "dense8"
+        assert s8._aux["users"]["prior"][0] is not None
+        # static prior rhs (Lambda_i @ propMu_i) only when the quirk is off;
+        # under strict_reference the rhs depends on the sampled hp.mu
+        assert (s8._aux["users"]["prior"][1] is not None) == (not strict)
+        # the [num_pad, K, K] form is NOT uploaded on the fast path
+        assert s8.users_gdata.prop_lambda is None
+        sd, rd = _run(train, test, "dense", nsims=4,
+                      prop_u=prop, strict_reference=strict)
+        assert sd.users.impl == "dense"
+        assert np.isfinite(r8)
+        assert r8 == pytest.approx(rd, abs=1e-5)
+        assert s8.rmse == pytest.approx(sd.rmse, abs=1e-5)
 
 
 def test_sharded_trajectory_matches_single_device():

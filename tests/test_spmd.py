@@ -168,6 +168,39 @@ def test_fused_dense_matches_plain(data):
         np.testing.assert_allclose(v0, vf, rtol=2e-3, atol=2e-3)
 
 
+def test_fused_dense_prop_posterior_matches_generic(tmp_path, data):
+    """Per-item propagated prior ON the fused dense sweep (round-2 gap #4:
+    -m/-l used to exclude a side from the fast paths): the prior arrives as
+    a packed-triangle [T, B] tile (pallas_solve._kernel_tri_fused_peritem)
+    and the trajectory matches the generic dense path consuming the same
+    posterior, on 1 and 8 devices, in both prior-rhs modes."""
+    train, test = data
+    out1 = str(tmp_path / "warm")
+    _run(train, test, n_devices=8, output_dir=out1, nsims=16)
+    for strict in (True, False):
+        warm_kw = dict(
+            prop_u=f"{out1}/U-mu.ddm,{out1}/U-Lambda.ddm",
+            prop_v=f"{out1}/V-mu.ddm,{out1}/V-Lambda.ddm",
+            strict_reference=strict, gram_impl="dense",
+        )
+        r0, u0, v0 = _run(train, test, n_devices=1, fuse_dense="off",
+                          **warm_kw)
+        for n_dev in (1, 8):
+            cfg = Config(num_latent=6, burnin=3, nsims=8, n_devices=n_dev,
+                         fuse_dense="on", solver="pallas", **warm_kw)
+            s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+            s.setup()
+            assert s._aux["users"]["fused"]
+            assert s._aux["users"]["prior"][0] is not None
+            assert s.users_gdata.prop_lambda is None  # no [pn, K, K] upload
+            rf = s.run()
+            uf = s.items_host(s.users, s.state_u)
+            vf = s.items_host(s.movies, s.state_m)
+            assert abs(r0 - rf) < 1e-4
+            np.testing.assert_allclose(u0, uf, rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(v0, vf, rtol=2e-3, atol=2e-3)
+
+
 def test_reduce_chunked_matches_unchunked(data):
     """The O(N/D * K^2)-memory chunked statistic exchange (per-destination
     psum loop, spmd.reduce_half_sweep_chunked) produces the same trajectory
