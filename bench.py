@@ -136,12 +136,43 @@ def ml25m_leg(synth_movielens, iters: int, scale: str):
     return r
 
 
+def tpu_reachable(timeout_s: float = 150.0) -> bool:
+    """Probe device acquisition in a SUBPROCESS with a hard timeout.
+
+    The tunneled TPU backend retries its connection forever when the
+    relay is wedged — an in-process ``import jax; jax.devices()`` then
+    hangs with no output and the whole bench artifact is lost (a silent
+    rc=124).  A subprocess probe bounds that risk; on failure the bench
+    falls back to CPU with an explicit ``tpu_unreachable`` marker so the
+    artifact is diagnosable instead of absent."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return False
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    tpu_dead = not tpu_reachable()
+    if tpu_dead:
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+
+    if tpu_dead:
+        jax.config.update("jax_platforms", "cpu")
+        emit_detail("tpu_unreachable", {"fallback": "cpu"})
 
     from bpmf_tpu.datasets import synth_chembl, synth_movielens
 
-    iters = int(os.environ.get("BENCH_ITERS", "500"))
+    iters = int(os.environ.get("BENCH_ITERS", "500" if not tpu_dead else "20"))
     k = int(os.environ.get("BENCH_K", "32"))
 
     train, test = synth_movielens()
@@ -165,9 +196,11 @@ def main() -> None:
         flush=True,
     )
     r["backend"] = jax.default_backend()
+    if tpu_dead:
+        r["tpu_unreachable"] = True
     emit_detail("detail_ml1m", r)
 
-    if os.environ.get("BENCH_FAST", ""):
+    if os.environ.get("BENCH_FAST", "") or tpu_dead:
         return
 
     # BASELINE config 3's regime: tall-skinny, extreme degree skew.

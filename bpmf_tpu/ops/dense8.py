@@ -162,7 +162,7 @@ def _blocks(items: int, frozen: int,
 
 
 def _kernel(codes_ref, p_t_ref, v_t_ref, gram_ref, rhs_ref,
-            *, cs: float, cb: float, contract_dim: int):
+            *, cs: float, cb: float, contract_dim: int, fold: bool):
     """One grid step: accumulate gram_t += p_t @ ind, rhs_t += v_t @ cv.
 
     ``contract_dim`` is the codes axis being contracted: 1 for the row
@@ -170,7 +170,16 @@ def _kernel(codes_ref, p_t_ref, v_t_ref, gram_ref, rhs_ref,
     over NB), 0 for the column orientation (items are code COLUMNS; codes
     block [UB, MB], p_t/v_t blocks over UB).  Output blocks are indexed by
     the item grid dim only, so they stay VMEM-resident across the whole
-    contraction sweep."""
+    contraction sweep.
+
+    ``fold=True`` variant: the centered-value build ``cv = cs*code +
+    cb*ind`` (two VPU passes over the whole int8 stream) is removed by
+    folding the affine into the matmul operands at the XLA level: the
+    caller passes ``p_t = [packed_tri; cb * v_t]`` (the cb-term rides the
+    big full-utilization Gram matmul as K extra rows) and ``v_t = cs *
+    v_t`` (contracted against the raw codes), and reconstructs ``rhs =
+    (cs*v_t)@code + (cb*v_t)@ind`` from the outputs — exact affine, only
+    float-rounding different from the cv formulation."""
     inner = pl.program_id(1)
 
     @pl.when(inner == 0)
@@ -181,7 +190,10 @@ def _kernel(codes_ref, p_t_ref, v_t_ref, gram_ref, rhs_ref,
     md = p_t_ref.dtype
     codes = codes_ref[:]
     ind = (codes != 0).astype(md)
-    cv = codes.astype(md) * md.type(cs) + ind * md.type(cb)
+    if fold:
+        cv = codes.astype(md)
+    else:
+        cv = codes.astype(md) * md.type(cs) + ind * md.type(cb)
     # contract p_t/v_t dim 1 (the frozen-side axis) against the codes
     # contraction axis; outputs are batch-last [T, items] / [K, items]
     dn = (((1,), (contract_dim,)), ((), ()))
@@ -193,7 +205,18 @@ def _kernel(codes_ref, p_t_ref, v_t_ref, gram_ref, rhs_ref,
     )
 
 
+def _fold_enabled() -> bool:
+    import os
+
+    return os.environ.get("BPMF_D8_FOLD", "1") == "1"
+
+
 def _call(codes, p_t, v_t, cs, cb, *, contract_dim, interpret):
+    fold = _fold_enabled()
+    if fold:
+        # cb-term rows ride the Gram matmul; cs folds into the code operand
+        p_t = jnp.concatenate([p_t, v_t * v_t.dtype.type(cb)], axis=0)
+        v_t = v_t * v_t.dtype.type(cs)
     r, c = codes.shape
     t_total, n = p_t.shape
     k = v_t.shape[0]
@@ -215,7 +238,8 @@ def _call(codes, p_t, v_t, cs, cb, *, contract_dim, interpret):
         items = c
 
     gram_t, rhs_t = pl.pallas_call(
-        functools.partial(_kernel, cs=cs, cb=cb, contract_dim=contract_dim),
+        functools.partial(_kernel, cs=cs, cb=cb, contract_dim=contract_dim,
+                          fold=fold),
         grid=grid,
         in_specs=[
             codes_spec,
@@ -237,6 +261,9 @@ def _call(codes, p_t, v_t, cs, cb, *, contract_dim, interpret):
         ),
         interpret=interpret,
     )(codes, p_t, v_t)
+    if fold:
+        # rhs = (cs*v)@code + (cb*v)@ind; the cb-term is the last K Gram rows
+        return gram_t[:-k], rhs_t + gram_t[-k:]
     return gram_t, rhs_t
 
 

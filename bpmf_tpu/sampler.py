@@ -316,11 +316,15 @@ class BPMF:
                 return False
             if cfg.gram_impl == "dense8":
                 return True
-            # auto: TPU only (interpret-mode Pallas off-TPU is tests-only),
-            # gather mode only (multi-chip dense8 does its own value
-            # exchange on the users sweep and stat exchange on the movies
-            # sweep; explicit reduce-mode runs keep the bucketed
-            # statistic-exchange program), only under the default solver
+            # auto: TPU only (interpret-mode Pallas off-TPU is tests-only).
+            # Both exchange modes ride the dense-stream program: the sharded
+            # variant never replicates the big (users) side — its sweep
+            # all_gathers only the small side's vectors, and the other
+            # sweep exchanges per-item statistics via psum_scatter — so an
+            # explicit --mode reduce keeps REDUCE's memory contract
+            # (c++/mpi_reduce.h:29-45) without falling back to the slow
+            # bucketed program (a banner line records the routing).  Only
+            # under the default solver
             # family (a user-forced
             # exact solver keeps the path that honors it), and only BEYOND
             # the bf16 dense budget — below it the fused dense sweep with
@@ -334,7 +338,7 @@ class BPMF:
             )
             return (
                 jax.default_backend() == "tpu"
-                and self.mode == "gather"
+                and self.mode in ("gather", "reduce")
                 and cfg.resolve_solver("tpu") in ("smart", "pallas")
                 and a_bytes > cfg.dense_limit_bytes
             )
@@ -852,6 +856,16 @@ class BPMF:
                     f"gram layout {side.name}: int8 dense-stream "
                     f"{r}x{c} shared code array ({r * c / 1e6:.0f} MB)"
                 )
+                if self.mode == "reduce":
+                    # explicit --mode reduce at dense-stream scale rides the
+                    # hybrid program; REDUCE's memory contract holds (the
+                    # sharded side is never replicated — its stats are
+                    # psum_scatter'd; only the small side is all_gathered)
+                    self._log(
+                        f"gram layout {side.name}: reduce mode via "
+                        "dense-stream hybrid (stat exchange on the sharded "
+                        "sweep, small-side value exchange)"
+                    )
                 continue
             if side.impl == "dense":
                 d, lp, opn = side.dense.shape

@@ -28,7 +28,8 @@ from bpmf_tpu.ops.dense8 import (
 from bpmf_tpu.ops.pallas_solve import tri_tight_pairs
 
 
-def check_correct():
+def check_correct(fold: str = "1"):
+    os.environ["BPMF_D8_FOLD"] = fold
     rng = np.random.default_rng(0)
     r, c, k = 512, 512, 32
     codes = rng.integers(0, 6, size=(r, c)).astype(np.int8)
@@ -64,7 +65,7 @@ def check_correct():
     err_r = np.abs(np.asarray(rhs_t) - rhs_ref_t).max() / np.abs(rhs_ref_t).max()
     print("cols: rel err gram", err_g, "rhs", err_r)
     assert err_g < 1e-5 and err_r < 1e-5
-    print("correctness OK")
+    print(f"correctness OK (fold={fold})")
 
 
 def bench():
@@ -91,24 +92,30 @@ def bench():
         return dense8_gram_rhs_cols(a, packed_tri_t(b).astype(jnp.bfloat16),
                                     bt, cs, cb)
 
-    for name, f, arg in (("rows", jax.jit(frow), v_t), ("cols", jax.jit(fcol), u_t)):
-        out = jax.block_until_ready(f(codes_d, arg))
-        best = float("inf")
-        for i in range(5):
-            a2 = arg * (1.0 + 1e-6 * (i + 1))  # defeat dispatch caching
-            jax.block_until_ready(a2)
-            t0 = time.perf_counter()
-            out = f(codes_d, a2)
-            np.asarray(jax.device_get(out[0][0, :1]))  # value fetch
-            best = min(best, time.perf_counter() - t0)
-        flops = rows * cols * (640 + 2 * 32) * 2
-        print(
-            f"{name}: {best*1e3:.2f} ms  "
-            f"({flops/best/1e12:.1f} TF/s incl. padding-T, "
-            f"{rows*cols/best/1e9:.1f} Gcodes/s)"
-        )
+    for fold in ("0", "1"):
+        os.environ["BPMF_D8_FOLD"] = fold
+        for name, f, arg in (
+            ("rows", jax.jit(frow), v_t),
+            ("cols", jax.jit(fcol), u_t),
+        ):
+            out = jax.block_until_ready(f(codes_d, arg))
+            best = float("inf")
+            for i in range(5):
+                a2 = arg * (1.0 + 1e-6 * (i + 1))  # defeat dispatch caching
+                jax.block_until_ready(a2)
+                t0 = time.perf_counter()
+                out = f(codes_d, a2)
+                np.asarray(jax.device_get(out[0][0, :1]))  # value fetch
+                best = min(best, time.perf_counter() - t0)
+            flops = rows * cols * (640 + 2 * 32) * 2
+            print(
+                f"fold={fold} {name}: {best*1e3:.2f} ms  "
+                f"({flops/best/1e12:.1f} TF/s incl. padding-T, "
+                f"{rows*cols/best/1e9:.1f} Gcodes/s)"
+            )
 
 
 if __name__ == "__main__":
-    check_correct()
+    check_correct("0")
+    check_correct("1")
     bench()

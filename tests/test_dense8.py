@@ -192,6 +192,30 @@ def test_dense8_with_prop_posterior(tmp_path):
         assert s8.rmse == pytest.approx(sd.rmse, abs=1e-5)
 
 
+def test_reduce_mode_rides_dense_stream():
+    """Explicit --mode reduce keeps the dense-stream program instead of
+    falling back to the bucketed statistic-exchange path (VERDICT r2 gap:
+    c++/mpi_reduce.h:29-45 users at huge scale got the slow program).  The
+    hybrid satisfies REDUCE's memory contract — the sharded side's stats go
+    via psum_scatter, only the small side is all_gathered — and the
+    trajectory is the gather-mode dense8 trajectory."""
+    train, test = synth_movielens(
+        n_users=300, n_movies=200, n_ratings=5000, seed=7
+    )
+    s_g, r_g = _run(train, test, "dense8", comm_mode="gather")
+    import io as _io
+
+    log = _io.StringIO()
+    cfg = Config(num_latent=16, nsims=6, burnin=2, gram_impl="dense8",
+                 n_devices=4, comm_mode="reduce")
+    s_r = BPMF(cfg, train=train, test=test, out=log)
+    r_r = s_r.run()
+    assert s_r.users.impl == "dense8" and s_r.movies.impl == "dense8"
+    assert "reduce mode via dense-stream hybrid" in log.getvalue()
+    assert r_r == pytest.approx(r_g, abs=2e-5)
+    assert s_r.rmse == pytest.approx(s_g.rmse, abs=2e-5)
+
+
 def test_sharded_trajectory_matches_single_device():
     """Multi-chip dense8 (rows-sharded code array: all_gather on the users
     sweep, psum_scatter stat exchange on the movies sweep) reproduces the
