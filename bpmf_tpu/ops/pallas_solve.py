@@ -178,9 +178,13 @@ def chol_solve_sample_pallas_blast(
 def tri_offsets(k: int, align: int = 8):
     """Row offsets of the 8-aligned packed-lower-triangle layout.
 
-    Column j of the lower triangle (elements (i, j), i >= j) is stored as
-    ``k - j`` consecutive rows starting at ``offs[j]``, padded up to a
-    multiple of ``align`` sublanes so in-kernel slices stay aligned.
+    Column j of the lower triangle (elements (i, j), i >= j) occupies an
+    ``align``-multiple block of rows starting at ``offs[j]``.  Two block
+    layouts share these offsets (the per-column block sizes coincide when
+    k % align == 0): the BOTTOM-padded layout stores the segment first and
+    pads below; the TOP-ALIGNED layout (:func:`tri_grouped`) covers
+    full-matrix rows [align*(j//align), k) so every 8-sublane group slice
+    in the grouped kernels is an aligned static slice.
     Returns (offs list, total padded row count T)."""
     offs = []
     t = 0
@@ -191,10 +195,22 @@ def tri_offsets(k: int, align: int = 8):
     return offs, t
 
 
+def tri_grouped(k: int) -> bool:
+    """True when the TOP-ALIGNED packed layout + group-sliced kernels are
+    in effect: k must be a multiple of the 8-sublane group, and
+    BPMF_TRI_GROUPED=0 forces the bottom-padded layout + full-width
+    kernels (A/B measurement knob, read at trace/pack time)."""
+    import os
+
+    return k % 8 == 0 and os.environ.get("BPMF_TRI_GROUPED", "1") == "1"
+
+
 def tri_index_pairs(k: int, align: int = 8):
     """(rows i, cols j) index arrays of length T for building the packed
     p_tri operand: p_tri[t] = v[i_t] * v[j_t]; padding rows repeat (0, 0)
-    (they multiply zero adjacency columns, so their value is irrelevant)."""
+    (they multiply zero adjacency columns / are masked at pivot time, so
+    their value is irrelevant).  Padding sits below the segment in the
+    bottom-padded layout, above the diagonal in the top-aligned one."""
     import numpy as np
 
     offs, t_total = tri_offsets(k, align)
@@ -202,8 +218,9 @@ def tri_index_pairs(k: int, align: int = 8):
     jj = np.zeros((t_total,), np.int32)
     for j in range(k):
         seg = k - j
-        ii[offs[j] : offs[j] + seg] = np.arange(j, k)
-        jj[offs[j] : offs[j] + seg] = j
+        pad = (j - 8 * (j // 8)) if tri_grouped(k) else 0
+        ii[offs[j] + pad : offs[j] + pad + seg] = np.arange(j, k)
+        jj[offs[j] + pad : offs[j] + pad + seg] = j
     return ii, jj
 
 
@@ -248,13 +265,20 @@ def tri_expand_rows(g_tight, k: int):
     tight_off = np.concatenate(
         [[0], np.cumsum([k - j for j in range(k)])]
     ).astype(int)
+    grouped = tri_grouped(k)
     parts = []
     for j in range(k):
         seg = k - j
-        parts.append(g_tight[tight_off[j] : tight_off[j] + seg])
-        pad = ((seg + 7) // 8) * 8 - seg
-        if pad:
-            parts.append(jnp.zeros((pad, b), g_tight.dtype))
+        if grouped:
+            pad = j - 8 * (j // 8)  # top-aligned: zeros ABOVE the diagonal
+            if pad:
+                parts.append(jnp.zeros((pad, b), g_tight.dtype))
+            parts.append(g_tight[tight_off[j] : tight_off[j] + seg])
+        else:
+            parts.append(g_tight[tight_off[j] : tight_off[j] + seg])
+            pad = ((seg + 7) // 8) * 8 - seg
+            if pad:
+                parts.append(jnp.zeros((pad, b), g_tight.dtype))
     return jnp.concatenate(parts, axis=0)
 
 
@@ -353,6 +377,131 @@ def _kernel_tri_fused_peritem(lamtri_ref, gtri_ref, rhs_ref, noise_ref,
     out_ref[:] = _chol_solve_tail(acols, y, noise, k).astype(out_ref.dtype)
 
 
+def _chol_solve_tail_grouped(aslabs, y, noise, k: int):
+    """Group-sliced right-looking Cholesky + substitutions + MVN draw.
+
+    ``aslabs[c]`` is column c of the working matrix as a list of [8, B]
+    sublane-group slabs covering full-matrix rows [8*(c//8), k) — the rows
+    above that block are structurally dead (never read), so the downdate
+    at pivot j touches only (k - 8*(c//8))/8 slabs of each trailing column
+    instead of the full [K, B] column: 920 vs 1984 sublane-group mul+sub
+    pairs at K=32, ~2.2x fewer VPU ops in the dominant loop.  The
+    substitutions are group-sliced the same way.  Arithmetic on live
+    elements is identical to :func:`_chol_solve_tail` (same FMA per
+    element, same ordering) — trajectories are unchanged."""
+    gg = k // 8
+    b = y.shape[1]
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    lslabs = []   # per pivot: (gj, masked column slabs) for the fwd subst
+    lcols = []    # full [K, B] columns for the stacked back-subst reads
+    for j in range(k):
+        gj = j // 8
+        r = j - 8 * gj
+        slabs = aslabs[j]
+        d = jax.lax.rsqrt(slabs[0][r, :])                    # [B]
+        col = [s * d[None, :] for s in slabs]
+        col[0] = jnp.where(r8 >= r, col[0], 0.0)
+        for c in range(j + 1, k):
+            gc = c // 8
+            cc = col[gc - gj][c - 8 * gc : c - 8 * gc + 1, :]    # [1, B]
+            tgt = aslabs[c]
+            for gi in range(gc, gg):
+                tgt[gi - gc] = tgt[gi - gc] - col[gi - gj] * cc
+        lslabs.append((gj, col))
+        full = col if gj == 0 else [
+            jnp.zeros((8 * gj, b), jnp.float32), *col
+        ]
+        lcols.append(
+            jnp.concatenate(full, axis=0) if len(full) > 1 else full[0]
+        )
+    l = jnp.stack(lcols, axis=1)                             # [K, K, B]
+
+    # forward substitution y = L \ rhs on slab-partitioned y
+    yslabs = [y[8 * gi : 8 * gi + 8] for gi in range(gg)]
+    for j in range(k):
+        gj, col = lslabs[j]
+        r = j - 8 * gj
+        yj = yslabs[gj][r, :] / col[0][r, :]
+        for gi in range(gj, gg):
+            upd = yslabs[gi] - col[gi - gj] * yj[None, :]
+            if gi == gj:
+                upd = jnp.where(r8 > r, upd, yslabs[gi])
+                upd = jnp.where(r8 == r, yj[None, :], upd)
+            yslabs[gi] = upd
+
+    yslabs = [
+        ys + noise[8 * gi : 8 * gi + 8] for gi, ys in enumerate(yslabs)
+    ]
+
+    # back substitution u = L' \ y; L's row j is a sublane slice of l
+    for j in range(k - 1, -1, -1):
+        gj = j // 8
+        r = j - 8 * gj
+        xj = yslabs[gj][r, :] / l[j, j, :]
+        for gi in range(gj + 1):
+            lrow = l[j, 8 * gi : 8 * gi + 8, :]
+            upd = yslabs[gi] - lrow * xj[None, :]
+            if gi == gj:
+                upd = jnp.where(r8 < r, upd, yslabs[gi])
+                upd = jnp.where(r8 == r, xj[None, :], upd)
+            yslabs[gi] = upd
+    return jnp.concatenate(yslabs, axis=0)
+
+
+def _kernel_tri_fused_grouped(lam_ref, gtri_ref, rhs_ref, noise_ref,
+                              out_ref, *, k: int, alpha: float):
+    """Grouped variant of :func:`_kernel_tri_fused`: the TOP-ALIGNED packed
+    tile stores column j's slot block over full-matrix rows [8*(j//8), k),
+    so every slab read below is an aligned static slice (no realign
+    copies).  The padding rows above the diagonal hold garbage
+    pair-products; they are masked at pivot time and never read
+    elsewhere."""
+    g = gtri_ref[:].astype(jnp.float32)      # [T, B]
+    lam = lam_ref[:].astype(jnp.float32)     # [K, K]
+    y = rhs_ref[:].astype(jnp.float32)       # [K, B]
+    noise = noise_ref[:].astype(jnp.float32)
+    offs, _ = tri_offsets(k)
+    gg = k // 8
+    aslabs = []
+    for j in range(k):
+        gj = j // 8
+        aslabs.append([
+            lam[8 * gi : 8 * gi + 8, j : j + 1]
+            + alpha
+            * g[offs[j] + 8 * (gi - gj) : offs[j] + 8 * (gi - gj) + 8]
+            for gi in range(gj, gg)
+        ])
+    out_ref[:] = _chol_solve_tail_grouped(aslabs, y, noise, k).astype(
+        out_ref.dtype
+    )
+
+
+def _kernel_tri_fused_peritem_grouped(lamtri_ref, gtri_ref, rhs_ref,
+                                      noise_ref, out_ref, *, k: int,
+                                      alpha: float):
+    """Grouped variant of :func:`_kernel_tri_fused_peritem` (per-item prior
+    precision tile in the same top-aligned packed layout)."""
+    g = gtri_ref[:].astype(jnp.float32)      # [T, B]
+    lt = lamtri_ref[:].astype(jnp.float32)   # [T, B]
+    y = rhs_ref[:].astype(jnp.float32)       # [K, B]
+    noise = noise_ref[:].astype(jnp.float32)
+    offs, _ = tri_offsets(k)
+    gg = k // 8
+    aslabs = []
+    for j in range(k):
+        gj = j // 8
+        aslabs.append([
+            lt[offs[j] + 8 * (gi - gj) : offs[j] + 8 * (gi - gj) + 8]
+            + alpha
+            * g[offs[j] + 8 * (gi - gj) : offs[j] + 8 * (gi - gj) + 8]
+            for gi in range(gj, gg)
+        ])
+    out_ref[:] = _chol_solve_tail_grouped(aslabs, y, noise, k).astype(
+        out_ref.dtype
+    )
+
+
 def tri_fused_supported(k: int, peritem: bool = False) -> bool:
     """VMEM budget check for the fused tri kernel at lane block 128;
     ``peritem`` accounts for the extra [T, B] prior tile of the
@@ -406,18 +555,25 @@ def tri_combine_solve_sample(
             # identity prior in padding lanes keeps the Cholesky valid
             eye_tri = jnp.zeros((t_total, pad), lam_tri_t.dtype)
             offs, _ = tri_offsets(k)
+            grouped = tri_grouped(k)
             for j in range(k):
-                eye_tri = eye_tri.at[offs[j]].set(1.0)
+                diag = offs[j] + ((j - 8 * (j // 8)) if grouped else 0)
+                eye_tri = eye_tri.at[diag].set(1.0)
             lam_tri_t = jnp.concatenate([lam_tri_t, eye_tri], axis=1)
     tri_spec = pl.BlockSpec((t_total, block), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((k, block), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+    grouped = tri_grouped(k)
     if peritem:
-        kernel = functools.partial(_kernel_tri_fused_peritem, k=k, alpha=alpha)
+        kernel = functools.partial(
+            _kernel_tri_fused_peritem_grouped if grouped
+            else _kernel_tri_fused_peritem, k=k, alpha=alpha)
         first_arg, first_spec = lam_tri_t, tri_spec
     else:
-        kernel = functools.partial(_kernel_tri_fused, k=k, alpha=alpha)
+        kernel = functools.partial(
+            _kernel_tri_fused_grouped if grouped else _kernel_tri_fused,
+            k=k, alpha=alpha)
         first_arg = lam
         first_spec = pl.BlockSpec((k, k), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
@@ -446,7 +602,7 @@ def pack_prior_tri(prop_lambda, k: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _prior_rhs_consts(k: int):
+def _prior_rhs_consts(k: int, grouped: bool):
     """Static operands for :func:`prior_rhs_from_tri`: row-routing one-hots
     A, B [K, T] (padding rows zeroed) and the (ii, jj) index vectors."""
     import numpy as np
@@ -455,7 +611,8 @@ def _prior_rhs_consts(k: int):
     offs, t_total = tri_offsets(k)
     valid = np.zeros(t_total, bool)
     for j in range(k):
-        valid[offs[j] : offs[j] + (k - j)] = True
+        pad = (j - 8 * (j // 8)) if grouped else 0
+        valid[offs[j] + pad : offs[j] + pad + (k - j)] = True
     a = np.zeros((k, t_total), np.float32)
     a[ii, np.arange(t_total)] = valid
     bmat = np.zeros((k, t_total), np.float32)
@@ -473,7 +630,7 @@ def prior_rhs_from_tri(prior_tri_t: jax.Array, mu: jax.Array) -> jax.Array:
     + sum_{t: jj==r, ii!=jj} tri[t] mu[ii[t]] — one [K, T] @ [T, B] matmul
     against a mu-weighted routing matrix."""
     k = mu.shape[0]
-    ii, jj, a, bmat = _prior_rhs_consts(k)
+    ii, jj, a, bmat = _prior_rhs_consts(k, tri_grouped(k))
     a = jnp.asarray(a, prior_tri_t.dtype)
     bmat = jnp.asarray(bmat, prior_tri_t.dtype)
     m1 = (a * jnp.take(mu, jnp.asarray(jj))[None, :]
