@@ -72,8 +72,10 @@ def save(path: str, sampler) -> None:
         "nsims": sampler.cfg.nsims,
         "burnin": sampler.cfg.burnin,
         "dataset_hash": dataset_hash(sampler),
-        "eval.pavg": to_host(sampler.est.pavg, np.float64),
-        "eval.pm2": to_host(sampler.est.pm2, np.float64),
+        # strip the entry-shard padding (multi-device eval pads nnz_t up to
+        # a device multiple) so checkpoints are device-count-independent
+        "eval.pavg": to_host(sampler.est.pavg, np.float64)[: len(sampler.t_val)],
+        "eval.pm2": to_host(sampler.est.pm2, np.float64)[: len(sampler.t_val)],
         "rmse": sampler.rmse,
         "rmse_avg": sampler.rmse_avg,
     }
@@ -151,10 +153,17 @@ def load(path: str, sampler) -> None:
     aggregate = bool(sampler.cfg.output_dir)
     sampler.state_m = _side_from_host(sampler, sampler.movies, data, "movies", aggregate)
     sampler.state_u = _side_from_host(sampler, sampler.users, data, "users", aggregate)
-    sampler.est = EvalState(
-        pavg=jnp.asarray(data["eval.pavg"], sampler.dtype),
-        pm2=jnp.asarray(data["eval.pm2"], sampler.dtype),
-    )
+    # re-pad + re-shard the eval state to this sampler's entry layout
+    # (multi-device pads nnz_t up to a device multiple, sampler.py setup)
+    nnz_pad = sampler.ev.t_val.shape[0]
+    pavg_np = np.pad(data["eval.pavg"], (0, nnz_pad - len(data["eval.pavg"])))
+    pm2_np = np.pad(data["eval.pm2"], (0, nnz_pad - len(data["eval.pm2"])))
+    pavg = jnp.asarray(pavg_np, sampler.dtype)
+    pm2 = jnp.asarray(pm2_np, sampler.dtype)
+    if sampler.n_devices > 1:
+        pavg = sampler._shard(pavg, 1)
+        pm2 = sampler._shard(pm2, 1)
+    sampler.est = EvalState(pavg=pavg, pm2=pm2)
     sampler.iter = int(data["iter"])
     sampler.key = jnp.asarray(data["key"])
     sampler.rmse = float(data["rmse"])

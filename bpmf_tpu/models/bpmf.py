@@ -56,11 +56,16 @@ class SideData(NamedTuple):
 
 class EvalData(NamedTuple):
     """Test ratings as COO triples (shared by both sides — the reference
-    keeps transposed copies in each Sys; one copy suffices)."""
+    keeps transposed copies in each Sys; one copy suffices).
+
+    ``valid`` marks real entries when the triples are padded (the
+    entry-sharded multi-device eval pads nnz_t up to the device count);
+    None means every entry is real."""
 
     t_user: jax.Array  # [nnz_t] int32 — row index (user)
     t_item: jax.Array  # [nnz_t] int32 — col index (movie)
     t_val: jax.Array   # [nnz_t]
+    valid: Optional[jax.Array] = None  # [nnz_t] 0/1 mask, or None
 
 
 class EvalState(NamedTuple):
@@ -263,6 +268,7 @@ def predict(
     mean_rating: jax.Array,
     burnin: int,
     gather_dtype=None,
+    axis_name=None,
 ) -> tuple[EvalState, jax.Array, jax.Array]:
     """RMSE of the instantaneous sample and the running posterior-mean
     prediction (Welford), Sys::predict (c++/sample.cpp:48-96).
@@ -275,6 +281,12 @@ def predict(
     config.py) halves the HBM traffic of the two test-entry row gathers —
     the dominant cost of this op; the dot still accumulates in the state
     dtype.
+
+    Inside a shard_map body (the entry-sharded multi-device eval,
+    parallel/spmd.predict_sharded) ``ev``/``est`` hold this device's entry
+    shard, ``ev.valid`` masks the padding entries, and ``axis_name`` makes
+    the error sums global via psum; the per-entry Welford state is exactly
+    the single-device state, just distributed.
     """
     n = jnp.maximum(it - burnin, 0)
     dtype = user_items.dtype
@@ -290,9 +302,16 @@ def predict(
     avg = jnp.where(n == 0, pred, est.pavg + delta / jnp.maximum(n_f, 1.0))
     m2 = jnp.where(n == 0, 0.0, est.pm2 + delta * (pred - avg))
 
-    se = jnp.sum((ev.t_val - pred) ** 2)
-    se_avg = jnp.sum((ev.t_val - avg) ** 2)
-    nump = jnp.asarray(ev.t_val.shape[0], dtype)
+    if ev.valid is None:
+        se = jnp.sum((ev.t_val - pred) ** 2)
+        se_avg = jnp.sum((ev.t_val - avg) ** 2)
+        nump = jnp.asarray(ev.t_val.shape[0], dtype)
+    else:
+        se = jnp.sum(ev.valid * (ev.t_val - pred) ** 2)
+        se_avg = jnp.sum(ev.valid * (ev.t_val - avg) ** 2)
+        nump = jnp.sum(ev.valid)
+    if axis_name is not None:
+        se, se_avg, nump = jax.lax.psum((se, se_avg, nump), axis_name)
     rmse = jnp.sqrt(se / nump)
     rmse_avg = jnp.sqrt(se_avg / nump)
     return EvalState(pavg=avg, pm2=m2), rmse, rmse_avg

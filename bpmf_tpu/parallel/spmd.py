@@ -1095,3 +1095,59 @@ def reduce_half_sweep(
         items=items, hp=hp, sum=s, cov=cov, norm=norm,
         aggr_mu=aggr_mu, aggr_prod=aggr_prod,
     )
+
+
+def predict_sharded(
+    mesh: Mesh,
+    ev,
+    est,
+    user_items: jax.Array,
+    movie_items: jax.Array,
+    it: jax.Array,
+    *,
+    mean_rating: jax.Array,
+    burnin: int,
+    gather_dtype=None,
+):
+    """Entry-sharded test evaluation (Sys::predict, c++/sample.cpp:48-96,
+    whose reference analog restricts each rank to its local item range,
+    c++/sample.cpp:56-65).
+
+    The single-device :func:`bpmf_tpu.models.bpmf.predict` replicates the
+    whole test-entry row gather on every device — a fixed ~10 ms at ml-25M
+    scale that bounds strong scaling before communication does (the
+    "replicated costs" note in docs/PERF.md).  Here the COO test triples
+    and the Welford state are sharded over the mesh (padded to a device
+    multiple; ``ev.valid`` masks the padding), each device gathers only its
+    nnz_t/D rows from the all_gather-ed factor tables, and one psum makes
+    the error sums global.  Per-entry Welford values are exactly the
+    single-device values, so trajectories and outputs are unchanged up to
+    float reduction order in the psum."""
+    from bpmf_tpu.models.bpmf import EvalData, EvalState, predict
+
+    def body(tu, ti, tv, valid, pavg, pm2, u_l, m_l):
+        uf = lax.all_gather(u_l, AXIS, tiled=True)
+        mf = lax.all_gather(m_l, AXIS, tiled=True)
+        est2, rmse, rmse_avg = predict(
+            EvalData(tu, ti, tv, valid),
+            EvalState(pavg, pm2),
+            uf,
+            mf,
+            it,
+            mean_rating=mean_rating,
+            burnin=burnin,
+            gather_dtype=gather_dtype,
+            axis_name=AXIS,
+        )
+        return est2.pavg, est2.pm2, rmse, rmse_avg
+
+    pavg, pm2, rmse, rmse_avg = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS), P(AXIS), P(), P()),
+        check_vma=False,
+    )(ev.t_user, ev.t_item, ev.t_val, ev.valid, est.pavg, est.pm2,
+      user_items, movie_items)
+    return EvalState(pavg=pavg, pm2=pm2), rmse, rmse_avg

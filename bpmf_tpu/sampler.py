@@ -566,16 +566,31 @@ class BPMF:
                     )
             self._aux[side.name] = aux
 
-        # eval data in padded index space
-        self.ev = EvalData(
-            t_user=jnp.asarray(
-                self.users.maps.orig_to_padded[self.t_user], jnp.int32
-            ),
-            t_item=jnp.asarray(
-                self.movies.maps.orig_to_padded[self.t_item], jnp.int32
-            ),
-            t_val=jnp.asarray(self.t_val, dtype),
-        )
+        # eval data in padded index space.  Multi-device: the test entries
+        # and the Welford state are SHARDED over the mesh (padded to a
+        # device multiple, `valid` masking the padding) so the per-entry
+        # row gather — a replicated ~10 ms at ml-25M scale — splits 1/D
+        # per device (parallel/spmd.predict_sharded).
+        tu_np = self.users.maps.orig_to_padded[self.t_user].astype(np.int32)
+        ti_np = self.movies.maps.orig_to_padded[self.t_item].astype(np.int32)
+        tv_np = np.asarray(self.t_val)
+        if self.n_devices > 1:
+            nnz_t = len(tv_np)
+            pad = (-nnz_t) % self.n_devices
+            valid_np = np.ones(nnz_t + pad, np.float32)
+            valid_np[nnz_t:] = 0.0
+            self.ev = EvalData(
+                t_user=shard(jnp.asarray(np.pad(tu_np, (0, pad))), 1),
+                t_item=shard(jnp.asarray(np.pad(ti_np, (0, pad))), 1),
+                t_val=shard(jnp.asarray(np.pad(tv_np, (0, pad)), dtype), 1),
+                valid=shard(jnp.asarray(valid_np, dtype), 1),
+            )
+        else:
+            self.ev = EvalData(
+                t_user=jnp.asarray(tu_np),
+                t_item=jnp.asarray(ti_np),
+                t_val=jnp.asarray(tv_np, dtype),
+            )
 
         def init_state(side: Side) -> SideState:
             k = cfg.num_latent
@@ -594,10 +609,17 @@ class BPMF:
 
         self.state_m = init_state(self.movies)
         self.state_u = init_state(self.users)
-        self.est = EvalState(
-            pavg=jnp.zeros((len(self.t_val),), dtype),
-            pm2=jnp.zeros((len(self.t_val),), dtype),
-        )
+        nnz_pad = self.ev.t_val.shape[0]
+        if self.n_devices > 1:
+            self.est = EvalState(
+                pavg=shard(jnp.zeros((nnz_pad,), dtype), 1),
+                pm2=shard(jnp.zeros((nnz_pad,), dtype), 1),
+            )
+        else:
+            self.est = EvalState(
+                pavg=jnp.zeros((nnz_pad,), dtype),
+                pm2=jnp.zeros((nnz_pad,), dtype),
+            )
         self.key = jax.random.PRNGKey(cfg.seed)
         mean_rating = jnp.asarray(self.mean_rating, dtype)
         self._mean_rating_dev = mean_rating
@@ -701,6 +723,25 @@ class BPMF:
                 num=side.num, splits=side.gather.splits, hp=hp, **common,
             )
 
+        def run_predict(ev, est, u_items, m_items, it, gather_dtype=None):
+            # multi-device: entry-sharded eval (the per-entry row gather is
+            # the replicated cost that bounds strong scaling, docs/PERF.md)
+            if self.n_devices > 1:
+                from bpmf_tpu.parallel.spmd import predict_sharded
+
+                return predict_sharded(
+                    mesh, ev, est, u_items, m_items, it,
+                    mean_rating=mean_rating, burnin=cfg.burnin,
+                    gather_dtype=gather_dtype,
+                )
+            return predict(
+                ev, est, u_items, m_items, it,
+                mean_rating=mean_rating, burnin=cfg.burnin,
+                gather_dtype=gather_dtype,
+            )
+
+        self._predict = run_predict
+
         def _iter(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
                   ev, key, it, m_dense=None, u_dense=None, codes=None,
                   m_maps=None, u_maps=None, m_prior=(None, None),
@@ -737,9 +778,8 @@ class BPMF:
             if "nopredict" in cfg.ablate.split(","):  # perf-debug
                 est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
             else:
-                est2, rmse, rmse_avg = predict(
+                est2, rmse, rmse_avg = run_predict(
                     ev, est, state_u.items, state_m.items, it,
-                    mean_rating=mean_rating, burnin=cfg.burnin,
                 )
             metrics = Metrics(
                 rmse=rmse,
@@ -1026,14 +1066,12 @@ class BPMF:
 
         # final all-items prediction pass (c++/bpmf.cpp:225,242): one more
         # Welford update with the last sample, matching the reference.
-        est, rmse, rmse_avg = predict(
+        est, rmse, rmse_avg = self._predict(
             self.ev,
             self.est,
             self.state_u.items,
             self.state_m.items,
             jnp.asarray(self.iter, jnp.int32),
-            mean_rating=self._mean_rating_dev,
-            burnin=cfg.burnin,
             gather_dtype=self._md,
         )
         self.est = est
@@ -1076,6 +1114,14 @@ class BPMF:
         Standalone micro-benchmarks of the same ops mis-measure badly
         (XLA picks different layouts/fusions out of context), so deltas
         against the real program are the honest number.
+
+        Cost: each ablation variant builds and compiles a fresh program
+        (5-6 compiles).  Negligible at small scale; at the huge-sparse
+        regime (ml-25M) each compile is a multi-GB program, so --profile
+        there costs tens of minutes of compile time on top of the run —
+        use it for one-off attribution, not routine benchmarking
+        (docs/PERF.md quotes the resulting deltas so reruns are rarely
+        needed).
         """
         import dataclasses
 
@@ -1147,8 +1193,9 @@ class BPMF:
             os.makedirs(odir, exist_ok=True)
         shape = self.test.shape
 
-        pavg = to_host(self.est.pavg, np.float64)
-        pm2 = to_host(self.est.pm2, np.float64)
+        nnz_t = len(self.t_val)  # strip eval-shard padding (multi-device)
+        pavg = to_host(self.est.pavg, np.float64)[:nnz_t]
+        pm2 = to_host(self.est.pm2, np.float64)[:nnz_t]
         pavg_m = sp.csc_matrix((pavg, (self.t_user, self.t_item)), shape=shape)
         pm2_m = sp.csc_matrix((pm2, (self.t_user, self.t_item)), shape=shape)
         if write:
