@@ -247,3 +247,60 @@ def test_reduce_chunked_never_materializes_global_buffer(data):
         assert f"f32[{pn},{k},{k}]" not in txt, (
             f"global [{pn},{k},{k}] stat buffer found in chunked program"
         )
+
+
+def test_predict_sharded_matches_single_device():
+    """Entry-sharded eval (parallel/spmd.predict_sharded): padded +
+    masked + psum'd error sums must reproduce the single-device predict
+    exactly (same Welford per-entry values, same rmse scalars) for an
+    nnz_t that is NOT a device multiple."""
+    import jax.numpy as jnp
+
+    from bpmf_tpu.models.bpmf import EvalData, EvalState, predict
+    from bpmf_tpu.parallel.mesh import make_mesh
+    from bpmf_tpu.parallel.spmd import AXIS, predict_sharded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(3)
+    # factor tables are mesh-sharded (divisible by 8, like the sampler's
+    # padded_num); nnz_t deliberately NOT a device multiple
+    n_u, n_m, k, nnz = 32, 24, 6, 37
+    tu = rng.integers(0, n_u, nnz).astype(np.int32)
+    ti = rng.integers(0, n_m, nnz).astype(np.int32)
+    tv = rng.normal(size=nnz).astype(np.float32)
+    mean_rating = jnp.asarray(0.37, jnp.float32)
+
+    ev1 = EvalData(jnp.asarray(tu), jnp.asarray(ti), jnp.asarray(tv))
+    est1 = EvalState(jnp.zeros(nnz), jnp.zeros(nnz))
+
+    mesh = make_mesh(8)
+    pad = (-nnz) % 8
+    valid = np.ones(nnz + pad, np.float32)
+    valid[nnz:] = 0.0
+
+    def sh(x):
+        return jax.device_put(x, NamedSharding(mesh, P(AXIS)))
+
+    ev8 = EvalData(
+        sh(jnp.asarray(np.pad(tu, (0, pad)))),
+        sh(jnp.asarray(np.pad(ti, (0, pad)))),
+        sh(jnp.asarray(np.pad(tv, (0, pad)))),
+        sh(jnp.asarray(valid)),
+    )
+    est8 = EvalState(sh(jnp.zeros(nnz + pad)), sh(jnp.zeros(nnz + pad)))
+
+    for it in range(4):  # crosses the burnin reset at it == burnin
+        u = jnp.asarray(rng.normal(size=(n_u, k)).astype(np.float32))
+        m = jnp.asarray(rng.normal(size=(n_m, k)).astype(np.float32))
+        itj = jnp.asarray(it, jnp.int32)
+        est1, r1, ra1 = predict(
+            ev1, est1, u, m, itj, mean_rating=mean_rating, burnin=2
+        )
+        est8, r8, ra8 = predict_sharded(
+            mesh, ev8, est8, u, m, itj, mean_rating=mean_rating, burnin=2
+        )
+        np.testing.assert_allclose(float(r1), float(r8), rtol=1e-6)
+        np.testing.assert_allclose(float(ra1), float(ra8), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(est1.pavg), np.asarray(est8.pavg)[:nnz], rtol=1e-6
+        )
