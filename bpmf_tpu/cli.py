@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reduce-mode stat exchange granularity: 'on' = "
                         "per-destination-shard loop with O(N/D K^2) peak "
                         "memory per device")
+    p.add_argument("--halo", default="auto", choices=["auto", "on", "off"],
+                   help="connectivity-aware frozen-side exchange in the "
+                        "bucketed gather path (opt_conn analog): exchange "
+                        "only the rows each device's ratings reference "
+                        "instead of all_gather-ing the whole side; 'auto' "
+                        "uses it only when it at least halves the volume")
     p.add_argument("--checkpoint", default="", metavar="FILE",
                    help="save full sampler state to FILE (.npz); with "
                         "--checkpoint-freq N also every N iterations "
@@ -127,6 +133,7 @@ def config_from_args(args) -> Config:
         solver=args.solver,
         gram_impl=args.gram_impl,
         reduce_chunked=args.reduce_chunked,
+        halo=args.halo,
         checkpoint_path=args.checkpoint,
         checkpoint_freq=args.checkpoint_freq,
         resume=args.resume,

@@ -75,6 +75,14 @@ class Config:
                                   # 'on' when the full buffer exceeds
                                   # reduce_chunk_limit_bytes per device
     reduce_chunk_limit_bytes: int = 512 << 20
+    halo: str = "auto"            # connectivity-aware value exchange in the
+                                  # bucketed gather path (opt_conn analog,
+                                  # c++/assign.cpp:215-286): 'on' forces the
+                                  # ppermute halo exchange, 'auto' uses it
+                                  # only when the per-pair halo is at most
+                                  # half the shard (volume_ratio <= 0.5 —
+                                  # dense-connectivity datasets keep the
+                                  # plain all_gather collective)
     ablate: str = ""              # perf-debug: skip sweep phases to isolate
                                   # their cost; comma-separated subset of
                                   # nogather,nogram,nomatmul,nosolve,nopredict
@@ -105,6 +113,8 @@ class Config:
             raise ValueError(f"bad fuse_dense {self.fuse_dense!r}")
         if self.reduce_chunked not in ("auto", "on", "off"):
             raise ValueError(f"bad reduce_chunked {self.reduce_chunked!r}")
+        if self.halo not in ("auto", "on", "off"):
+            raise ValueError(f"bad halo {self.halo!r}")
 
     def resolve_solver(self, backend: str) -> str:
         """'smart' picks per batch size (measured on v5e, K=32): pure-XLA

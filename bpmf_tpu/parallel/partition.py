@@ -37,6 +37,7 @@ from bpmf_tpu.sparse import Bucket, bucketize, pad_count
 __all__ = [
     "assign_items",
     "GatherLayout",
+    "HaloLayout",
     "ReduceLayout",
     "ReduceLayoutChunked",
     "stack_buckets",
@@ -244,6 +245,94 @@ def build_gather_layout(
     scratch_ids = [len(ids) for ids in ids_per_dev]  # local scratch slot
     buckets, splits = stack_buckets(per_dev, scratch_ids, orig_scratch=num)
     return GatherLayout(maps=maps, buckets=buckets, splits=splits)
+
+
+@dataclasses.dataclass
+class HaloLayout:
+    """Connectivity-aware value exchange for one side's sweep (the
+    TPU-native analog of the reference's opt_conn connectivity
+    optimization, c++/assign.cpp:215-286, which the reference itself ships
+    disabled).
+
+    Instead of all_gather-ing the whole frozen other side ((D-1)/D · N
+    rows per device), each device receives only the other-side rows its
+    local ratings actually reference, exchanged pairwise over D-1
+    ``ppermute`` rounds (ring schedule on the ICI/DCN mesh axis).  The
+    received rows are scattered into a buffer in the same padded global
+    layout the bucket ``nbr`` indices already use, so the sweep downstream
+    is untouched; rows nobody references stay zero and only ever meet
+    mask-zeroed reads (ops/update.gram_rhs).  Pure comm-volume
+    optimization — the trajectory is bitwise the one all_gather produces.
+
+    Worth it only when connectivity is sparse (per-pair halo ≪ shard
+    size): MovieLens-style dense connectivity needs nearly every row
+    everywhere and the plain all_gather collective is strictly better
+    (``volume_ratio`` ≈ 1, and the auto mode keeps all_gather)."""
+
+    send_rows: np.ndarray   # [D, D, H] int32 — send_rows[s, t]: local row
+                            # indices of src s's other-side shard needed by
+                            # dst t (row s==t unused)
+    recv_pos: np.ndarray    # [D, D, H] int32 — recv_pos[t, s]: padded
+                            # global positions where rows from s land on t;
+                            # padding entries -> N (a dump slot)
+    halo_rows: int          # H: per-pair row count (padded, 8-aligned)
+    volume_ratio: float     # padded halo volume / all_gather volume
+
+
+def build_halo_layout(
+    m_csc: sp.csc_matrix,
+    maps: SideMaps,
+    other_maps: SideMaps,
+) -> HaloLayout:
+    """For the sweep updating THIS side (``maps``): which OTHER-side rows
+    each device's local ratings reference.  ``m_csc``: [num_other, num_this]
+    with this side's items as columns (same orientation as
+    :func:`build_gather_layout`)."""
+    n_dev = maps.n_devices
+    lp = other_maps.local_pad
+    other_map = np.asarray(other_maps.orig_to_padded, np.int64)
+
+    # per-destination-device needed other-side padded ids
+    need = []
+    for ids in maps.ids_per_dev:
+        if len(ids) == 0:
+            need.append(np.zeros((0,), np.int64))
+            continue
+        sub = m_csc[:, ids]
+        need.append(np.unique(other_map[np.unique(sub.indices)]))
+
+    lists: list[list[np.ndarray]] = [
+        [np.zeros((0,), np.int32)] * n_dev for _ in range(n_dev)
+    ]
+    h = 0
+    for t in range(n_dev):
+        src = need[t] // lp
+        loc = (need[t] % lp).astype(np.int32)
+        for s in range(n_dev):
+            if s == t:
+                continue
+            sel = loc[src == s]
+            lists[s][t] = sel
+            h = max(h, len(sel))
+    h = max(8, -(-h // 8) * 8)  # 8-sublane-aligned [H, K] payloads
+
+    n_global = other_maps.padded_num
+    send_rows = np.zeros((n_dev, n_dev, h), np.int32)
+    recv_pos = np.full((n_dev, n_dev, h), n_global, np.int32)  # pad -> dump
+    for s in range(n_dev):
+        for t in range(n_dev):
+            if s == t:
+                continue
+            sel = lists[s][t]
+            send_rows[s, t, : len(sel)] = sel
+            recv_pos[t, s, : len(sel)] = s * lp + sel
+    ratio = h / lp if lp else 1.0
+    return HaloLayout(
+        send_rows=send_rows,
+        recv_pos=recv_pos,
+        halo_rows=h,
+        volume_ratio=ratio,
+    )
 
 
 def build_dense_layout(

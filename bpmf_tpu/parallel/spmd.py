@@ -8,7 +8,9 @@ runtime instead of compile time:
   half-sweep the frozen other side is ``all_gather``-ed and each device
   resamples its own item shard.  This is the MPI_BCAST / MPI_ISEND /
   MPI_PUT / GASPI / ArgoDSM family (their differences are overlap
-  strategies that XLA owns on ICI).
+  strategies that XLA owns on ICI).  On sparse connectivity the
+  all_gather can be replaced by :func:`halo_gather` (``Config.halo``) —
+  the opt_conn analog exchanging only referenced rows.
 * ``reduce`` — statistic exchange (ENABLE_REDUCE, MPI_REDUCE /
   MPI_ALLREDUCE): the other side is NOT gathered; each device computes
   partial per-item (Gram, rhs) from the edges whose other-side endpoint it
@@ -85,6 +87,41 @@ def _take0(b: BucketDev) -> BucketDev:
     return BucketDev(*(x[0] for x in b))
 
 
+def halo_gather(
+    other_l: jax.Array,      # [lp, K] this device's shard of the frozen side
+    send_rows: jax.Array,    # [D, H] local rows to send to each dst
+    recv_pos: jax.Array,     # [D, H] global positions for rows from each src
+    n_devices: int,
+) -> jax.Array:
+    """Connectivity-aware replacement for the frozen-side ``all_gather``
+    (partition.HaloLayout; opt_conn analog, c++/assign.cpp:215-286).
+
+    D-1 ``ppermute`` rounds on a ring schedule; round r sends each device's
+    [H, K] payload to (me+r) % D and scatters the rows received from
+    (me-r) % D at their padded global positions.  Padding entries land on a
+    dump slot past the buffer end.  Returns a [D*lp, K] buffer identical to
+    the all_gather result on every row any bucket references; unreferenced
+    rows are zero (read only under a zero mask, ops/update.gram_rhs)."""
+    lp, k = other_l.shape
+    n_global = n_devices * lp
+    me = lax.axis_index(AXIS)
+    buf = jnp.zeros((n_global + 1, k), other_l.dtype)
+    # the zero must match axis_index's int32 under jax_enable_x64
+    buf = lax.dynamic_update_slice(
+        buf, other_l, (me * lp, jnp.zeros((), me.dtype))
+    )
+    for r in range(1, n_devices):
+        dst = (me + r) % n_devices
+        src = (me - r) % n_devices
+        payload = jnp.take(other_l, jnp.take(send_rows, dst, axis=0), axis=0)
+        recv = lax.ppermute(
+            payload, AXIS,
+            perm=[(i, (i + r) % n_devices) for i in range(n_devices)],
+        )
+        buf = buf.at[jnp.take(recv_pos, src, axis=0)].set(recv)
+    return buf[:n_global]
+
+
 def gather_half_sweep(
     mesh: Mesh,
     state: SideState,
@@ -105,8 +142,13 @@ def gather_half_sweep(
     matmul_dtype: str = "float32",
     ablate: str = "",
     hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
+    halo: tuple = (None, None),        # (send_rows, recv_pos) [D, D, H]
 ) -> SideState:
-    """Value-exchange half-sweep (Sys::sample + bcast-family comm)."""
+    """Value-exchange half-sweep (Sys::sample + bcast-family comm).
+
+    ``halo``: when set (partition.HaloLayout device arrays), the frozen
+    side is exchanged connectivity-aware via :func:`halo_gather` instead of
+    a full all_gather — same values on every referenced row."""
     dtype = other_items.dtype
     if hp is None:
         hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
@@ -114,14 +156,21 @@ def gather_half_sweep(
 
     has_aggr = state.aggr_mu is not None
     has_prop = data.prop_mu is not None
+    has_halo = halo[0] is not None
+    n_dev = mesh.shape[AXIS]
 
     def body(items_l, aggr_mu_l, aggr_prod_l, prop_mu_l, prop_lambda_l,
-             other_l, *buckets_flat):
+             other_l, halo_send_l, halo_recv_l, *buckets_flat):
         buckets = tuple(
             _take0(BucketDev(*buckets_flat[j * 7 : (j + 1) * 7]))
             for j in range(len(splits))
         )
-        other_full = lax.all_gather(other_l, AXIS, tiled=True)
+        if halo_send_l is not None:
+            other_full = halo_gather(
+                other_l, halo_send_l[0], halo_recv_l[0], n_dev
+            )
+        else:
+            other_full = lax.all_gather(other_l, AXIS, tiled=True)
         local_data = SideData(
             buckets=buckets, prop_mu=prop_mu_l, prop_lambda=prop_lambda_l
         )
@@ -166,6 +215,8 @@ def gather_half_sweep(
         prop_mu_spec,
         prop_lam_spec,
         P(AXIS, None),            # other items
+        P(AXIS, None, None) if has_halo else P(),   # halo send_rows
+        P(AXIS, None, None) if has_halo else P(),   # halo recv_pos
     ) + tuple(s for _ in splits for s in bspecs)
     out_specs = (
         P(AXIS, None),
@@ -187,6 +238,8 @@ def gather_half_sweep(
         data.prop_mu,
         data.prop_lambda,
         other_items,
+        halo[0],
+        halo[1],
         *buckets_flat,
     )
 

@@ -67,6 +67,7 @@ class Side:
         ids = part.assign_items(self.degrees, n_devices, balance=cfg.permute)
         self.maps = part.make_maps(ids, self.num)
         self.gather: Optional[part.GatherLayout] = None
+        self.halo: Optional[part.HaloLayout] = None
         self.reduce: Optional[part.ReduceLayout] = None
         self.reduce_chunked: Optional[part.ReduceLayoutChunked] = None
         self.chunked_splits: tuple = ()
@@ -412,6 +413,15 @@ class BPMF:
                         other.maps.orig_to_padded, cfg.max_bucket_width,
                         cfg.bucket_growth,
                     )
+                    # connectivity-aware exchange (opt_conn analog): only
+                    # when the per-pair halo at least halves the volume —
+                    # dense-connectivity datasets keep the all_gather
+                    if self.n_devices > 1 and cfg.halo != "off":
+                        hl = part.build_halo_layout(
+                            side.m, side.maps, other.maps
+                        )
+                        if cfg.halo == "on" or hl.volume_ratio <= 0.5:
+                            side.halo = hl
 
         def shard(x, rank):
             spec = P(AXIS, *([None] * (rank - 1)))
@@ -503,6 +513,12 @@ class BPMF:
             )
             aux["fused"] = fuse_ok(side)
             aux["prior"] = (None, None)
+            aux["halo"] = (None, None)
+            if side.halo is not None:
+                aux["halo"] = (
+                    shard(jnp.asarray(side.halo.send_rows), 3),
+                    shard(jnp.asarray(side.halo.recv_pos), 3),
+                )
             if prior_fast(side):
                 # packed-triangle per-item prior precision [T, num_pad]
                 # (batch-last, item-sharded) + the static prior rhs when the
@@ -639,7 +655,8 @@ class BPMF:
         )
 
         def sweep(state, gdata, rdata, dense, maps, other_items, key, it,
-                  side: Side, codes=None, hp=None, prior=(None, None)):
+                  side: Side, codes=None, hp=None, prior=(None, None),
+                  halo=(None, None)):
             # maps = (local_orig, local_valid): passed as jit arguments, not
             # closures — closed-over sharded arrays are rejected in
             # multi-process runs (they span non-addressable devices)
@@ -720,7 +737,8 @@ class BPMF:
                 )
             return gather_half_sweep(
                 mesh, state, gdata, other_items, key, it,
-                num=side.num, splits=side.gather.splits, hp=hp, **common,
+                num=side.num, splits=side.gather.splits, hp=hp, halo=halo,
+                **common,
             )
 
         def run_predict(ev, est, u_items, m_items, it, gather_dtype=None):
@@ -745,7 +763,8 @@ class BPMF:
         def _iter(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
                   ev, key, it, m_dense=None, u_dense=None, codes=None,
                   m_maps=None, u_maps=None, m_prior=(None, None),
-                  u_prior=(None, None)):
+                  u_prior=(None, None), m_halo=(None, None),
+                  u_halo=(None, None)):
             key_it = jax.random.fold_in(key, it)
             # both sides' hyperprior draws in one vmapped chain (they
             # condition only on the previous iteration's stats; sampled
@@ -768,12 +787,12 @@ class BPMF:
             state_m = sweep(
                 state_m, m_gdata, m_rdata, m_dense, m_maps, state_u.items,
                 jax.random.fold_in(key_it, 0), it, self.movies, codes=codes,
-                hp=hp_m, prior=m_prior,
+                hp=hp_m, prior=m_prior, halo=m_halo,
             )
             state_u = sweep(
                 state_u, u_gdata, u_rdata, u_dense, u_maps, state_m.items,
                 jax.random.fold_in(key_it, 1), it, self.users, codes=codes,
-                hp=hp_u, prior=u_prior,
+                hp=hp_u, prior=u_prior, halo=u_halo,
             )
             if "nopredict" in cfg.ablate.split(","):  # perf-debug
                 est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
@@ -807,13 +826,13 @@ class BPMF:
 
         def chunk(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
                   ev, key, it0, m_dense, u_dense, codes, m_maps, u_maps,
-                  m_prior, u_prior):
+                  m_prior, u_prior, m_halo, u_halo):
             def body(carry, j):
                 sm, su, e = carry
                 sm, su, e, met = iter_impl(
                     sm, su, e, m_gdata, m_rdata, u_gdata, u_rdata,
                     ev, key, it0 + j, m_dense, u_dense, codes, m_maps, u_maps,
-                    m_prior, u_prior,
+                    m_prior, u_prior, m_halo, u_halo,
                 )
                 return (sm, su, e), met
             (sm, su, e), mets = lax.scan(
@@ -838,6 +857,7 @@ class BPMF:
             self._aux["movs"]["dense"], self._aux["users"]["dense"],
             self._codes, self._maps_arg("movs"), self._maps_arg("users"),
             self._aux["movs"]["prior"], self._aux["users"]["prior"],
+            self._aux["movs"]["halo"], self._aux["users"]["halo"],
         )
         self.iter += n
         return mets
@@ -935,6 +955,12 @@ class BPMF:
                 )
                 + "  (devices x rows x width)"
             )
+            if side.halo is not None:
+                # connectivity-aware exchange chosen (opt_conn analog)
+                self._log(
+                    f"halo {side.name}: {side.halo.halo_rows} rows/pair "
+                    f"(volume {side.halo.volume_ratio:.2f}x of all_gather)"
+                )
 
     # -- Gibbs loop --------------------------------------------------------
 
@@ -964,6 +990,8 @@ class BPMF:
             self._maps_arg("users"),
             self._aux["movs"]["prior"],
             self._aux["users"]["prior"],
+            self._aux["movs"]["halo"],
+            self._aux["users"]["halo"],
         )
         return metrics
 

@@ -304,3 +304,65 @@ def test_predict_sharded_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(est1.pavg), np.asarray(est8.pavg)[:nnz], rtol=1e-6
         )
+
+
+def test_halo_gather_matches_all_gather():
+    """halo_gather (connectivity-aware value exchange, opt_conn analog)
+    must reproduce the all_gather buffer on every referenced row."""
+    import jax.numpy as jnp
+
+    from bpmf_tpu.parallel import partition as part
+    from bpmf_tpu.parallel.mesh import make_mesh
+    from bpmf_tpu.parallel.spmd import AXIS, halo_gather
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from scipy import sparse as sp_m
+
+    rng = np.random.default_rng(5)
+    n_this, n_other, k, d = 26, 41, 4, 8
+    m = sp_m.random(n_other, n_this, density=0.12, random_state=3,
+                    format="csc")
+    this_maps = part.make_maps(
+        part.assign_items(np.diff(m.indptr), d), n_this
+    )
+    other_deg = np.diff(m.tocsr().indptr)
+    other_maps = part.make_maps(part.assign_items(other_deg, d), n_other)
+    hl = part.build_halo_layout(m, this_maps, other_maps)
+
+    mesh = make_mesh(d)
+    lp = other_maps.local_pad
+    table = rng.normal(size=(d * lp, k)).astype(np.float32)
+
+    def body(other_l, send_l, recv_l):
+        return halo_gather(other_l, send_l[0], recv_l[0], d)
+
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None, None), P(AXIS, None, None)),
+        out_specs=P(AXIS, None),  # [D * D*lp, K]: each device's full buffer
+        check_vma=False,
+    )(
+        jnp.asarray(table),
+        jnp.asarray(hl.send_rows),
+        jnp.asarray(hl.recv_pos),
+    )
+    out = np.asarray(out).reshape(d, d * lp, k)
+    other_map = np.asarray(other_maps.orig_to_padded)
+    for t in range(d):
+        ids = this_maps.ids_per_dev[t]
+        needed = np.unique(other_map[np.unique(m[:, ids].tocoo().row)])
+        np.testing.assert_array_equal(out[t][needed], table[needed])
+        own = slice(t * lp, (t + 1) * lp)  # own shard always present
+        np.testing.assert_array_equal(out[t][own], table[own])
+
+
+def test_halo_mode_matches_all_gather_trajectory(data):
+    """Forced halo exchange on the bucketed gather path must reproduce the
+    plain all_gather trajectory (same values on every referenced row)."""
+    train, test = data
+    r0, u0, v0 = _run(train, test, n_devices=8, gram_impl="bucketed",
+                      halo="off")
+    r1, u1, v1 = _run(train, test, n_devices=8, gram_impl="bucketed",
+                      halo="on")
+    assert abs(r0 - r1) < 1e-6
+    np.testing.assert_allclose(u0, u1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(v0, v1, rtol=1e-6, atol=1e-6)
