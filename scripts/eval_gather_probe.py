@@ -99,6 +99,26 @@ def main():
         t = bench(predict_like, jnp.asarray(a), jnp.asarray(b))
         print(f"  {name} {t*1e3:8.4f} ms")
 
+    # fused variant: both tables concatenated, ONE 2*nnz gather (fewer op
+    # dispatches; gather-rate is instruction-bound so this tests whether
+    # dispatch count or row count dominates)
+    def predict_fused(tu, ti):
+        def body(c, _):
+            tbl = jnp.concatenate([u, m], axis=0)
+            idx = jnp.concatenate([tu, ti + N_U]) + c
+            g = jnp.take(tbl, idx, axis=0, fill_value=0.0)
+            pred = jnp.sum(g[:NNZ] * g[NNZ:], axis=1)
+            se = jnp.sum((tv - pred) ** 2)
+            return c + jnp.asarray(0, jnp.int32), se
+
+        _, s = jax.lax.scan(body, jnp.asarray(0, jnp.int32), None,
+                            length=STEPS)
+        return jnp.sum(s)
+
+    for name, (a, b) in pairs.items():
+        t = bench(predict_fused, jnp.asarray(a), jnp.asarray(b))
+        print(f"  fused-1-gather {name} {t*1e3:8.4f} ms")
+
 
 if __name__ == "__main__":
     main()
