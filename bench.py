@@ -52,6 +52,13 @@ def emit_detail(name: str, payload: dict) -> None:
     print(json.dumps({name: payload}), file=sys.stderr, flush=True)
 
 
+def emit_budget() -> None:
+    emit_detail(
+        "bench_budget",
+        {"budget_s": BUDGET_S, "used_s": round(time.time() - T0, 1)},
+    )
+
+
 def measure(train, test, k, iters, repeats=3):
     import jax
 
@@ -136,7 +143,7 @@ def ml25m_leg(synth_movielens, iters: int, scale: str):
     return r
 
 
-def tpu_reachable(timeout_s: float = 150.0) -> bool:
+def tpu_reachable(timeout_s: float = 150.0) -> str:
     """Probe device acquisition in a SUBPROCESS with a hard timeout.
 
     The tunneled TPU backend retries its connection forever when the
@@ -144,34 +151,41 @@ def tpu_reachable(timeout_s: float = 150.0) -> bool:
     hangs with no output and the whole bench artifact is lost (a silent
     rc=124).  A subprocess probe bounds that risk; on failure the bench
     falls back to CPU with an explicit ``tpu_unreachable`` marker so the
-    artifact is diagnosable instead of absent."""
+    artifact is diagnosable instead of absent.
+
+    Returns 'tpu', 'cpu_requested' (JAX_PLATFORMS=cpu in the env — an
+    intentional CPU run, not a failure), or 'tpu_unreachable'."""
     import subprocess
 
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        return False
+        return "cpu_requested"
     try:
         proc = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout_s,
             capture_output=True,
         )
-        return proc.returncode == 0
+        return "tpu" if proc.returncode == 0 else "tpu_unreachable"
     except subprocess.TimeoutExpired:
-        return False
+        return "tpu_unreachable"
 
 
 def main() -> None:
-    tpu_dead = not tpu_reachable()
+    platform = tpu_reachable()
+    tpu_dead = platform != "tpu"
     if tpu_dead:
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     if tpu_dead:
         jax.config.update("jax_platforms", "cpu")
-        emit_detail("tpu_unreachable", {"fallback": "cpu"})
+        if platform == "tpu_unreachable":
+            emit_detail("tpu_unreachable", {"fallback": "cpu"})
 
     from bpmf_tpu.datasets import synth_chembl, synth_movielens
 
+    # CPU runs (requested or fallback) cap the chunk length: 500 iters of
+    # the ml-1m leg is hours on one core
     iters = int(os.environ.get("BENCH_ITERS", "500" if not tpu_dead else "20"))
     k = int(os.environ.get("BENCH_K", "32"))
 
@@ -196,11 +210,15 @@ def main() -> None:
         flush=True,
     )
     r["backend"] = jax.default_backend()
-    if tpu_dead:
+    if platform == "tpu_unreachable":
         r["tpu_unreachable"] = True
     emit_detail("detail_ml1m", r)
 
     if os.environ.get("BENCH_FAST", "") or tpu_dead:
+        reason = "BENCH_FAST" if os.environ.get("BENCH_FAST", "") else platform
+        for leg in ("detail_chembl_synth", "detail_ml25m_synth"):
+            emit_detail(leg, {"skipped": reason})
+        emit_budget()
         return
 
     # BASELINE config 3's regime: tall-skinny, extreme degree skew.
@@ -233,10 +251,7 @@ def main() -> None:
             "detail_ml25m_synth",
             {"skipped": "budget", "remaining_s": round(rem, 1)},
         )
-    emit_detail(
-        "bench_budget",
-        {"budget_s": BUDGET_S, "used_s": round(time.time() - T0, 1)},
-    )
+    emit_budget()
 
 
 if __name__ == "__main__":

@@ -552,14 +552,19 @@ def tri_combine_solve_sample(
         rhs_t = jnp.pad(rhs_t, ((0, 0), (0, pad)))
         noise_t = jnp.pad(noise_t, ((0, 0), (0, pad)))
         if peritem:
-            # identity prior in padding lanes keeps the Cholesky valid
-            eye_tri = jnp.zeros((t_total, pad), lam_tri_t.dtype)
+            # identity prior in padding lanes keeps the Cholesky valid;
+            # the diagonal row offsets are static — build the eye on the
+            # host (one constant, not k chained scatters at trace time)
+            import numpy as _np
+
             offs, _ = tri_offsets(k)
             grouped = tri_grouped(k)
+            eye_np = _np.zeros((t_total, pad), _np.float32)
             for j in range(k):
-                diag = offs[j] + ((j - 8 * (j // 8)) if grouped else 0)
-                eye_tri = eye_tri.at[diag].set(1.0)
-            lam_tri_t = jnp.concatenate([lam_tri_t, eye_tri], axis=1)
+                eye_np[offs[j] + ((j - 8 * (j // 8)) if grouped else 0)] = 1.0
+            lam_tri_t = jnp.concatenate(
+                [lam_tri_t, jnp.asarray(eye_np, lam_tri_t.dtype)], axis=1
+            )
     tri_spec = pl.BlockSpec((t_total, block), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((k, block), lambda i: (0, i),

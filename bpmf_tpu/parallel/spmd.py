@@ -70,6 +70,24 @@ def _noise(side_key, ids, k, dtype, num, ablate):
 
 
 
+def _combine_prior_rhs(rhs_t, hp, prior_tri_l, prior_rhs_l, dtype):
+    """rhs + prior contribution, [K, I] (c++/sample.cpp:272-285).
+
+    Per-item propagated prior: the static rhs when available
+    (strict_reference=False), else the sampled hyper-mean quirk
+    Lambda_i @ hp.mu (c++/sample.cpp:285).  Shared prior: Lambda @ mu.
+    One place for all three fused sweeps so the quirk/dtype handling
+    cannot diverge between them."""
+    if prior_tri_l is not None:
+        from bpmf_tpu.ops.pallas_solve import prior_rhs_from_tri
+
+        prior_rhs = (prior_rhs_l if prior_rhs_l is not None
+                     else prior_rhs_from_tri(prior_tri_l, hp.mu))
+        return rhs_t.astype(dtype) + prior_rhs
+    prior_rhs = hp.lambda_f @ hp.mu                              # [K]
+    return rhs_t.astype(dtype) + prior_rhs[:, None]
+
+
 def _bucket_specs():
     return BucketDev(
         nbr=P(AXIS, None, None),
@@ -490,18 +508,10 @@ def dense_half_sweep_fused(
             # and picks the M=32 output orientation, which starves the MXU
             # (measured 0.07 vs 0.02 ms on ml-1m)
             rhs = jax.lax.optimization_barrier(rhs)
-        if has_prior:
-            # per-item propagated prior (c++/sample.cpp:272-283): static
-            # rhs when available (strict_reference=False), else the shared
-            # sampled hyper-mean quirk Lambda_i @ hp.mu (c++/sample.cpp:285)
-            from bpmf_tpu.ops.pallas_solve import prior_rhs_from_tri
-
-            prior_rhs = (prior_rhs_l if has_static_rhs
-                         else prior_rhs_from_tri(prior_tri_l, hp.mu))
-            rhs_full_t = rhs.T + prior_rhs                       # [K, I]
-        else:
-            prior_rhs = hp.lambda_f @ hp.mu                      # [K]
-            rhs_full_t = rhs.T + prior_rhs[:, None]              # [K, I]
+        rhs_full_t = _combine_prior_rhs(                         # [K, I]
+            rhs.T, hp, prior_tri_l if has_prior else None,
+            prior_rhs_l if has_static_rhs else None, dtype,
+        )
         noise = _noise(side_key, local_orig_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
@@ -808,16 +818,9 @@ def dense8_half_sweep(
 
         gram_t = tri_expand_rows(gram_t, k)
     gram_t = gram_t.astype(dtype)
-    if prior_tri_t is not None:
-        # per-item propagated prior (c++/sample.cpp:272-283)
-        from bpmf_tpu.ops.pallas_solve import prior_rhs_from_tri
-
-        prior_rhs = (prior_rhs_t if prior_rhs_t is not None
-                     else prior_rhs_from_tri(prior_tri_t, hp.mu))
-        rhs_full_t = rhs_t.astype(dtype) + prior_rhs             # [K, I]
-    else:
-        prior_rhs = hp.lambda_f @ hp.mu                          # [K]
-        rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]    # [K, I]
+    rhs_full_t = _combine_prior_rhs(                             # [K, I]
+        rhs_t, hp, prior_tri_t, prior_rhs_t, dtype,
+    )
     noise = _noise(side_key, lo, k, dtype, num, ablate)
     if noise_scale != 1.0:
         noise = noise * noise_scale
@@ -915,15 +918,10 @@ def dense8_half_sweep_sharded(
     def tail(gram_tight_t, rhs_t, lo_l, lv_l, aggr_mu_l, aggr_prod_l,
              prior_tri_l, prior_rhs_l):
         gram_t = tri_expand_rows(gram_tight_t, k).astype(dtype)
-        if has_prior:
-            from bpmf_tpu.ops.pallas_solve import prior_rhs_from_tri
-
-            prior_rhs = (prior_rhs_l if has_static_rhs
-                         else prior_rhs_from_tri(prior_tri_l, hp.mu))
-            rhs_full_t = rhs_t.astype(dtype) + prior_rhs
-        else:
-            prior_rhs = hp.lambda_f @ hp.mu
-            rhs_full_t = rhs_t.astype(dtype) + prior_rhs[:, None]
+        rhs_full_t = _combine_prior_rhs(
+            rhs_t, hp, prior_tri_l if has_prior else None,
+            prior_rhs_l if has_static_rhs else None, dtype,
+        )
         noise = _noise(side_key, lo_l, k, dtype, num, ablate)
         if noise_scale != 1.0:
             noise = noise * noise_scale
