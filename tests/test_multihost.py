@@ -114,3 +114,51 @@ def test_two_process_trajectory_matches_single_process(tmp_path):
     for (it, r_mh, ra_mh), (_, r_sp, ra_sp) in zip(traj_mh, traj_sp):
         assert r_mh == pytest.approx(r_sp, abs=2e-4), f"iter {it}"
         assert ra_mh == pytest.approx(ra_sp, abs=2e-4), f"iter {it}"
+
+
+def test_two_process_halo_matches_all_gather(tmp_path):
+    """The connectivity-aware halo exchange (spmd.halo_gather) across a
+    2-process mesh reproduces the all_gather trajectory — certifies the
+    ppermute ring + sharded send/recv tables over process boundaries."""
+    train, test = make_ratings(n_users=60, n_movies=40, density=0.25)
+    tr, te = str(tmp_path / "train.sdm"), str(tmp_path / "test.sdm")
+    write_matrix(tr, train)
+    write_matrix(te, test)
+
+    common = ["-n", tr, "-p", te, "-i", "5", "-b", "2", "-d", "8",
+              "--seed", "7", "--platform", "cpu", "--gram-impl", "bucketed"]
+
+    def run_pair(halo: str):
+        for attempt in range(2):
+            port = _free_port()
+            procs = []
+            for pid in range(2):
+                env = dict(os.environ)
+                env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+                env["JAX_PLATFORMS"] = "cpu"
+                env["BPMF_DIST"] = f"127.0.0.1:{port},2,{pid}"
+                procs.append(
+                    _run_proc(common + ["--halo", halo], env)
+                )
+            outs = []
+            for p in procs:
+                try:
+                    out, err = p.communicate(timeout=300)
+                except subprocess.TimeoutExpired:
+                    for q in procs:
+                        q.kill()
+                    raise
+                outs.append((p.returncode, out, err))
+            if all(rc == 0 for rc, _, _ in outs):
+                return _trajectory(outs[0][1])
+            if attempt == 0:
+                continue
+            for rc, out, err in outs:
+                assert rc == 0, f"halo={halo} process failed:\n{err[-3000:]}"
+
+    traj_off = run_pair("off")
+    traj_on = run_pair("on")
+    assert len(traj_off) == 5 and len(traj_on) == 5
+    for (it, r0, ra0), (_, r1, ra1) in zip(traj_off, traj_on):
+        assert r1 == pytest.approx(r0, abs=1e-5), f"iter {it}"
+        assert ra1 == pytest.approx(ra0, abs=1e-5), f"iter {it}"
