@@ -3,7 +3,9 @@
 Usage: bpmf -n <MTX> -p <MTX> [-o DIR/] [-i N] [-b N] [-f N] [-krv] [-t N]
             [-m MTX,MTX] [-l MTX,MTX] [-a F] [-d K]
 
-plus TPU-native extras (--mode, --dtype, --seed, --devices, --profile).
+plus TPU-native extras (--mode, --dtype, --seed, --devices, --chunk,
+--solver, --gram-impl, --reduce-chunked, --halo, --checkpoint, --resume,
+--ablate, --dist, --platform, --profile).
 Unlike the reference, K (-d) is a runtime parameter, not a compile-time
 constant (CMakeLists.txt:25 BPMF_NUMLATENT).
 """
