@@ -366,3 +366,35 @@ def test_halo_mode_matches_all_gather_trajectory(data):
     assert abs(r0 - r1) < 1e-6
     np.testing.assert_allclose(u0, u1, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(v0, v1, rtol=1e-6, atol=1e-6)
+
+
+def test_halo_layout_empty_shards():
+    """build_halo_layout with fewer items than devices: empty destination
+    shards contribute no halo rows and the tables stay well-formed."""
+    from scipy import sparse as sp_m
+
+    from bpmf_tpu.parallel import partition as part
+
+    m = sp_m.random(12, 5, density=0.3, random_state=0, format="csc")
+    tm = part.make_maps(part.assign_items(np.diff(m.indptr), 8), 5)
+    om = part.make_maps(
+        part.assign_items(np.diff(m.tocsr().indptr), 8), 12
+    )
+    hl = part.build_halo_layout(m, tm, om)
+    d, lp = 8, om.local_pad
+    assert hl.send_rows.shape == (d, d, hl.halo_rows)
+    assert hl.recv_pos.shape == (d, d, hl.halo_rows)
+    # send rows index into the source shard; recv positions are in-range
+    # padded global ids or the dump slot
+    assert hl.send_rows.min() >= 0 and hl.send_rows.max() < lp
+    assert hl.recv_pos.min() >= 0 and hl.recv_pos.max() <= om.padded_num
+    # every real recv position is consistent with its send row
+    for s in range(d):
+        for t in range(d):
+            if s == t:
+                continue
+            real = hl.recv_pos[t, s] < om.padded_num
+            np.testing.assert_array_equal(
+                hl.recv_pos[t, s][real],
+                s * lp + hl.send_rows[s, t][: real.sum()],
+            )
