@@ -15,15 +15,25 @@ Secondary configs (BASELINE configs 3 and 5's regimes — chembl-synth and
 ml-25M-synth) are measured too and emitted as JSON detail lines on stderr,
 so they are tracked per round.  Set BENCH_FAST=1 to skip them.
 
-Wall-clock budget: the whole run fits inside BENCH_BUDGET_S seconds
-(default 720) — the driver's window is finite and a timeout loses EVERY
-number (BENCH_r02 was rc=124).  The primary line prints immediately after
-the ml-1m leg; before each secondary leg the remaining budget is checked
-against that leg's estimated cost and the leg is skipped with
-{"skipped": "budget", ...} instead of overrunning.  When the full-scale
-ml-25M leg does not fit, a half-scale variant that exercises the SAME
-dense8 code path is tried first.  Every leg reports its setup/compile/
-measure seconds so the next timeout is diagnosable.
+Robustness contract: this script ALWAYS exits rc 0 with the headline line
+printed, inside BENCH_BUDGET_S seconds (default 720) — a timeout loses
+EVERY number (BENCH_r02 was rc=124).  Two mechanisms:
+
+  1. Budget checks between legs: a leg whose estimated cost exceeds the
+     remaining budget is skipped with {"skipped": "budget", ...}.
+  2. Every measurement leg runs in a SUBPROCESS with a hard timeout
+     derived from the remaining budget (``--leg`` mode below).  The
+     tunneled TPU runtime can wedge MID-RUN (observed: hangs with no
+     error for hours) — an in-process leg would then hang the whole
+     artifact past the driver's window; a killed subprocess instead
+     yields {"skipped": "leg_timeout"} and, for the primary leg, a
+     marked CPU salvage run.  Subprocess legs share the persistent XLA
+     compilation cache (enabled in sampler.setup), so the extra process
+     costs only the import, not a recompile.
+
+Each leg reports its setup/compile/measure seconds so any timeout is
+diagnosable.  When the full-scale ml-25M leg does not fit the budget, a
+half-scale variant that exercises the SAME dense8 code path is tried.
 
 Timing protocol mirrors the reference's own yardstick (items/sec =
 (num_users + num_movies) / iteration wall time, c++/bpmf.cpp:193-198):
@@ -35,6 +45,7 @@ chunk and is discarded by the best-of-N.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -109,6 +120,7 @@ def measure(train, test, k, iters, repeats=3):
         "compile_s": round(compile_s, 1),
         "measure_s": round(measure_s, 1),
         "leg_s": round(time.perf_counter() - t_leg0, 1),
+        "backend": jax.default_backend(),
     }
 
 
@@ -155,8 +167,6 @@ def tpu_reachable(timeout_s: float = 150.0) -> str:
 
     Returns 'tpu', 'cpu_requested' (JAX_PLATFORMS=cpu in the env — an
     intentional CPU run, not a failure), or 'tpu_unreachable'."""
-    import subprocess
-
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return "cpu_requested"
     try:
@@ -170,48 +180,121 @@ def tpu_reachable(timeout_s: float = 150.0) -> str:
         return "tpu_unreachable"
 
 
-def main() -> None:
-    platform = tpu_reachable()
-    tpu_dead = platform != "tpu"
-    if tpu_dead:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
+def run_leg(leg: str, timeout_s: float, cpu: bool) -> dict:
+    """Run one measurement leg in a subprocess with a hard timeout.
 
-    if tpu_dead:
+    Returns the leg's detail dict, or {"skipped": "leg_timeout"/"leg_error",
+    ...} — never raises, never hangs past ``timeout_s``."""
+    env = dict(os.environ)
+    env["BENCH_PLATFORM"] = "cpu" if cpu else "tpu"
+    timeout_s = max(timeout_s, 1.0)
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", leg],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return {
+            "skipped": "leg_timeout",
+            "leg": leg,
+            "timeout_s": round(timeout_s, 1),
+        }
+    # stderr carries jax warnings; the result is the last stdout line
+    # that parses as a JSON object
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            if isinstance(d, dict):
+                d["wall_s"] = round(time.time() - t0, 1)
+                return d
+        except ValueError:
+            continue
+    return {
+        "skipped": "leg_error",
+        "leg": leg,
+        "rc": proc.returncode,
+        "stderr_tail": proc.stderr[-800:],
+    }
+
+
+def leg_main(leg: str) -> None:
+    """Subprocess entry: run ONE leg, print its detail dict as the final
+    stdout line.  BENCH_PLATFORM=cpu forces the CPU backend in-process
+    (the env var alone is not enough — a sitecustomize may re-pin
+    JAX_PLATFORMS at interpreter startup)."""
+    cpu = os.environ.get("BENCH_PLATFORM") == "cpu"
+    if cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
         jax.config.update("jax_platforms", "cpu")
-        if platform == "tpu_unreachable":
-            emit_detail("tpu_unreachable", {"fallback": "cpu"})
 
     from bpmf_tpu.datasets import synth_chembl, synth_movielens
 
-    # CPU runs (requested or fallback) cap the chunk length: 500 iters of
-    # the ml-1m leg is hours on one core
-    iters = int(os.environ.get("BENCH_ITERS", "500" if not tpu_dead else "20"))
+    # CPU runs cap the chunk length: 500 iters of the ml-1m leg is hours
+    # on one core
+    iters = int(os.environ.get("BENCH_ITERS", "20" if cpu else "500"))
     k = int(os.environ.get("BENCH_K", "32"))
 
-    train, test = synth_movielens()
-    r = measure(train, test, k, iters)
+    if leg == "ml1m":
+        train, test = synth_movielens()
+        r = measure(train, test, k, iters)
+    elif leg == "chembl":
+        train, test = synth_chembl()
+        r = measure(train, test, k, min(iters, 100))
+    elif leg in ("ml25m_full", "ml25m_half"):
+        r = ml25m_leg(synth_movielens, min(iters, 20), leg.split("_")[1])
+    else:
+        raise SystemExit(f"unknown leg {leg!r}")
+    print(json.dumps(r), flush=True)
 
+
+def main() -> None:
+    platform = tpu_reachable()
+    tpu_dead = platform != "tpu"
+    if platform == "tpu_unreachable":
+        emit_detail("tpu_unreachable", {"fallback": "cpu"})
+
+    # ---- primary leg (the headline number) ----
+    # On TPU, leave room after the leg's own timeout for a marked CPU
+    # salvage run: the tunnel can wedge MID-LEG (after a successful probe).
+    r = run_leg(
+        "ml1m",
+        timeout_s=min(remaining() - (60 if tpu_dead else 240), 480),
+        cpu=tpu_dead,
+    )
+    if "items_per_sec" not in r and not tpu_dead:
+        emit_detail("tpu_wedged_midrun", {"first_attempt": r})
+        platform = "tpu_wedged_midrun"
+        tpu_dead = True
+        os.environ.setdefault("BENCH_ITERS", "10")  # salvage leg: be quick
+        r = run_leg("ml1m", timeout_s=remaining() - 30, cpu=True)
+
+    k = int(os.environ.get("BENCH_K", "32"))
     baseline = json.load(
         open(os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json"))
     )["derived"]["items_per_sec_64thread_upper_bound"]
 
     # the primary line prints BEFORE the secondary legs: a budget overrun
     # later must never cost the headline number
+    value = r.get("items_per_sec", 0.0)
     print(
         json.dumps(
             {
                 "metric": f"user+item updates/sec (ml-1m synth, K={k})",
-                "value": r["items_per_sec"],
+                "value": value,
                 "unit": "items/sec",
-                "vs_baseline": round(r["items_per_sec"] / baseline, 4),
+                "vs_baseline": round(value / baseline, 4),
             }
         ),
         flush=True,
     )
-    r["backend"] = jax.default_backend()
-    if platform == "tpu_unreachable":
-        r["tpu_unreachable"] = True
+    if platform not in ("tpu", "cpu_requested"):
+        r[platform] = True
     emit_detail("detail_ml1m", r)
 
     if os.environ.get("BENCH_FAST", "") or tpu_dead:
@@ -225,9 +308,8 @@ def main() -> None:
     # Leg cost: dataset gen + setup + one compile + 3x100-iter chunks —
     # ~180 s uncached on the tunneled TPU.
     if remaining() > 180:
-        train, test = synth_chembl()
-        r = measure(train, test, k, min(iters, 100))
-        emit_detail("detail_chembl_synth", r)
+        d = run_leg("chembl", timeout_s=min(remaining() - 60, 420), cpu=False)
+        emit_detail("detail_chembl_synth", d)
     else:
         emit_detail(
             "detail_chembl_synth",
@@ -239,13 +321,16 @@ def main() -> None:
     # array build + 9.6 GB upload, plus compile — the dominant costs are
     # fixed, so it only runs when most of the budget remains; a half-scale
     # leg exercising the same dense8 kernels is the fallback.
+    # A measured half-scale line beats a timed-out full-scale marker, so
+    # the full leg needs a comfortable margin (raise BENCH_BUDGET_S to get
+    # it — scripts/tpu_measure_queue.sh does).
     rem = remaining()
-    if rem > 420:
-        r = ml25m_leg(synth_movielens, 20, "full")
-        emit_detail("detail_ml25m_synth", r)
+    if rem > 600:
+        d = run_leg("ml25m_full", timeout_s=rem - 60, cpu=False)
+        emit_detail("detail_ml25m_synth", d)
     elif rem > 210:
-        r = ml25m_leg(synth_movielens, 20, "half")
-        emit_detail("detail_ml25m_synth", r)
+        d = run_leg("ml25m_half", timeout_s=rem - 30, cpu=False)
+        emit_detail("detail_ml25m_synth", d)
     else:
         emit_detail(
             "detail_ml25m_synth",
@@ -255,4 +340,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        leg_main(sys.argv[2])
+    else:
+        main()
