@@ -23,7 +23,7 @@ BPMF_TRI_GROUPED=0 BENCH_FAST=1 BENCH_ITERS=200 timeout 1200 python bench.py > /
 
 # 3. full bench (chembl + ml-25M legs, fold default on; budget raised so
 #    the FULL-scale ml-25M leg fits — the default 720 s only fits half)
-BENCH_BUDGET_S=1400 timeout 1500 python bench.py > /tmp/tpuq_bench_full.log 2>&1
+BENCH_BUDGET_S=1400 timeout 2100 python bench.py > /tmp/tpuq_bench_full.log 2>&1
 
 # 4. dense8 fold A/B microbench
 timeout 1800 python scripts/bench_dense8.py > /tmp/tpuq_fold_ab.log 2>&1
