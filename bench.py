@@ -282,17 +282,17 @@ def main() -> None:
     # the primary line prints BEFORE the secondary legs: a budget overrun
     # later must never cost the headline number
     value = r.get("items_per_sec", 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": f"user+item updates/sec (ml-1m synth, K={k})",
-                "value": value,
-                "unit": "items/sec",
-                "vs_baseline": round(value / baseline, 4),
-            }
-        ),
-        flush=True,
-    )
+    headline = {
+        "metric": f"user+item updates/sec (ml-1m synth, K={k})",
+        "value": value,
+        "unit": "items/sec",
+        "vs_baseline": round(value / baseline, 4),
+    }
+    if platform not in ("tpu", "cpu_requested"):
+        # a CPU salvage number must be self-explaining IN the headline —
+        # the stderr details may not reach the reader
+        headline["platform"] = f"cpu ({platform})"
+    print(json.dumps(headline), flush=True)
     if platform not in ("tpu", "cpu_requested"):
         r[platform] = True
     emit_detail("detail_ml1m", r)

@@ -51,6 +51,8 @@ def test_main_headline_prints_even_when_every_leg_fails(monkeypatch, capsys):
     assert out[0]["value"] == 0.0
     assert out[0]["vs_baseline"] == 0.0
     assert out[0]["unit"] == "items/sec"
+    # a degraded headline is self-explaining without the stderr details
+    assert out[0]["platform"] == "cpu (tpu_unreachable)"
 
 
 def test_main_salvages_midrun_wedge_with_cpu_leg(monkeypatch, capsys):
