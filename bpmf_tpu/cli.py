@@ -143,6 +143,29 @@ def config_from_args(args) -> Config:
     )
 
 
+def _device_probe(timeout_s: float) -> bool:
+    """Bounded device-acquisition canary (the bench.tpu_reachable posture
+    applied to the user-facing binary).
+
+    The tunneled TPU runtime retries its connection FOREVER when the relay
+    is wedged — the first in-process backend touch then hangs silently for
+    hours.  The reference fails loudly on runtime-init problems
+    (c++/mpi_common.h:16 MPI_ERRORS_ARE_FATAL); so do we: probe
+    ``jax.devices()`` in a subprocess with a hard timeout and report an
+    actionable error instead of hanging."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -158,6 +181,23 @@ def main(argv=None) -> int:
         os.environ["BPMF_DIST"] = args.dist
     if args.platform:
         os.environ["BPMF_PLATFORM"] = args.platform
+
+    # Wedge guard: when the run may touch a (possibly tunneled) accelerator
+    # runtime, bound the acquisition.  An explicit CPU platform needs no
+    # probe; BPMF_PROBE_TIMEOUT_S=0 disables it.
+    requested = (args.platform or os.environ.get("BPMF_PLATFORM", "")
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    probe_timeout = float(os.environ.get("BPMF_PROBE_TIMEOUT_S", "120"))
+    if requested != "cpu" and probe_timeout > 0:
+        if not _device_probe(probe_timeout):
+            print(
+                "bpmf: error: accelerator runtime unreachable (device "
+                f"acquisition exceeded {probe_timeout:.0f}s — a wedged "
+                "TPU tunnel hangs forever).  Pass --platform cpu to run "
+                "on CPU, fix the tunnel, or raise BPMF_PROBE_TIMEOUT_S.",
+                file=sys.stderr,
+            )
+            return 2
     from bpmf_tpu.parallel.mesh import initialize_from_env
 
     initialize_from_env()

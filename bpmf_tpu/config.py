@@ -91,6 +91,22 @@ class Config:
                                   # on TPU when eligible; 'on' forces it
                                   # (interpret-mode Pallas off-TPU, slow —
                                   # tests only); 'off' disables
+    defer_predict: str = "auto"   # chunk-batched test evaluation
+                                  # (models/bpmf.predict_deferred): one
+                                  # 2(n x nnz_t)-row gather per chunk
+                                  # instead of 2n nnz_t-row gathers —
+                                  # trajectory-exact.  'auto' = single
+                                  # device with chunk > 1 AND the chunk's
+                                  # gather footprint under the limit below;
+                                  # 'off' keeps the per-iteration predict
+    defer_predict_limit_bytes: int = 512 << 20
+                                  # deferral footprint cap for 'auto':
+                                  # ~2 n nnz_t K 4B of gather output +
+                                  # n (pn_u+pn_m) K 4B of stacked tables —
+                                  # at ml-25M scale (6M test entries x a
+                                  # 20-iter chunk) unbounded deferral OOMs
+                                  # a 16 GB chip, and predict is a trivial
+                                  # share of that regime anyway
 
     def __post_init__(self):
         if self.comm_mode not in ("auto", "gather", "reduce"):
@@ -105,6 +121,8 @@ class Config:
             raise ValueError(f"bad gram_impl {self.gram_impl!r}")
         if self.matmul_dtype not in ("auto", "bfloat16", "float32"):
             raise ValueError(f"bad matmul_dtype {self.matmul_dtype!r}")
+        if self.defer_predict not in ("auto", "on", "off"):
+            raise ValueError(f"bad defer_predict {self.defer_predict!r}")
         allowed = {"nogather", "nogram", "nomatmul", "nosolve", "nopredict",
                    "nohyper", "nonoise"}
         if self.ablate and not set(self.ablate.split(",")) <= allowed:

@@ -269,6 +269,7 @@ def predict(
     burnin: int,
     gather_dtype=None,
     axis_name=None,
+    nnz_true: Optional[int] = None,
 ) -> tuple[EvalState, jax.Array, jax.Array]:
     """RMSE of the instantaneous sample and the running posterior-mean
     prediction (Welford), Sys::predict (c++/sample.cpp:48-96).
@@ -309,12 +310,83 @@ def predict(
     else:
         se = jnp.sum(ev.valid * (ev.t_val - pred) ** 2)
         se_avg = jnp.sum(ev.valid * (ev.t_val - avg) ** 2)
-        nump = jnp.sum(ev.valid)
+        # the true entry count is statically known to the caller; a runtime
+        # float sum of the mask can lose integer exactness past 2^24
+        # entries per shard, so prefer the constant
+        nump = (jnp.asarray(nnz_true, dtype) if nnz_true is not None
+                else jnp.sum(ev.valid))
     if axis_name is not None:
-        se, se_avg, nump = jax.lax.psum((se, se_avg, nump), axis_name)
+        se, se_avg = jax.lax.psum((se, se_avg), axis_name)
+        if nnz_true is not None:
+            nump = jnp.asarray(nnz_true, dtype)  # already the GLOBAL count
+        else:
+            nump = jax.lax.psum(nump, axis_name)
     rmse = jnp.sqrt(se / nump)
     rmse_avg = jnp.sqrt(se_avg / nump)
     return EvalState(pavg=avg, pm2=m2), rmse, rmse_avg
+
+
+def predict_deferred(
+    ev: EvalData,
+    est: EvalState,
+    users_stack: jax.Array,   # [n, pn_u, K] — iteration c's U table
+    movies_stack: jax.Array,  # [n, pn_m, K]
+    it0: jax.Array,           # iteration number of stack slot 0
+    *,
+    mean_rating: jax.Array,
+    burnin: int,
+    gather_dtype=None,
+) -> tuple[EvalState, jax.Array, jax.Array]:
+    """Chunk-batched :func:`predict`: same per-iteration math and outputs,
+    with the 2n per-iteration test-entry row gathers (the ml-1m
+    iteration's largest single cost, docs/PERF.md §predict) replaced by 2
+    gathers of n x nnz_t rows from the stacked per-iteration factor tables
+    — the XLA row gather's per-row cost IMPROVES with gather size
+    (scripts/eval_gather_probe.py), and predict needs nothing but the
+    tables, so deferral to the chunk boundary is trajectory-exact.
+    The Welford recurrence (sequential in n by construction) runs as a
+    cheap elementwise scan over the pre-gathered predictions."""
+    n, pn_u, k = users_stack.shape
+    pn_m = movies_stack.shape[1]
+    dtype = users_stack.dtype
+    if gather_dtype is not None and gather_dtype != dtype:
+        users_stack = users_stack.astype(gather_dtype)
+        movies_stack = movies_stack.astype(gather_dtype)
+    nnz = ev.t_user.shape[0]
+    steps = jnp.arange(n, dtype=ev.t_user.dtype)
+    iu = (steps[:, None] * pn_u + ev.t_user[None, :]).reshape(-1)
+    im = (steps[:, None] * pn_m + ev.t_item[None, :]).reshape(-1)
+    gu = users_stack.reshape(n * pn_u, k).at[iu].get(
+        mode="promise_in_bounds")
+    gm = movies_stack.reshape(n * pn_m, k).at[im].get(
+        mode="promise_in_bounds")
+    preds = (jnp.sum((gu * gm).astype(dtype), axis=-1).reshape(n, nnz)
+             + mean_rating)
+
+    nump = (jnp.asarray(nnz, dtype) if ev.valid is None
+            else jnp.sum(ev.valid))
+
+    def body(carry, inp):
+        pavg, pm2 = carry
+        pred, it = inp
+        nn = jnp.maximum(it - burnin, 0)
+        delta = pred - pavg
+        n_f = jnp.asarray(nn, dtype)
+        avg = jnp.where(nn == 0, pred, pavg + delta / jnp.maximum(n_f, 1.0))
+        m2 = jnp.where(nn == 0, 0.0, pm2 + delta * (pred - avg))
+        if ev.valid is None:
+            se = jnp.sum((ev.t_val - pred) ** 2)
+            se_avg = jnp.sum((ev.t_val - avg) ** 2)
+        else:
+            se = jnp.sum(ev.valid * (ev.t_val - pred) ** 2)
+            se_avg = jnp.sum(ev.valid * (ev.t_val - avg) ** 2)
+        return (avg, m2), (jnp.sqrt(se / nump), jnp.sqrt(se_avg / nump))
+
+    its = it0 + jnp.arange(n, dtype=it0.dtype)
+    (pavg, pm2), (rmse, rmse_avg) = jax.lax.scan(
+        body, (est.pavg, est.pm2), (preds, its)
+    )
+    return EvalState(pavg=pavg, pm2=pm2), rmse, rmse_avg
 
 
 def gibbs_iter(

@@ -195,14 +195,36 @@ def tri_offsets(k: int, align: int = 8):
     return offs, t
 
 
+_TRI_GROUPED_ENV: bool | None = None  # pinned at first consult
+
+
 def tri_grouped(k: int) -> bool:
     """True when the TOP-ALIGNED packed layout + group-sliced kernels are
-    in effect: k must be a multiple of the 8-sublane group, and
-    BPMF_TRI_GROUPED=0 forces the bottom-padded layout + full-width
-    kernels (A/B measurement knob, read at trace/pack time)."""
-    import os
+    in effect (BPMF_TRI_GROUPED=1; k must be a multiple of the 8-sublane
+    group).  Default OFF: the round-4 hardware A/B measured the grouped
+    variant SLOWER in both regimes (chembl 13.82 vs 13.42 ms/iter,
+    ml-1m 1.195 vs 1.190) — the sublane-op savings inside the solver are
+    outweighed elsewhere; kept as a measurement knob.
 
-    return k % 8 == 0 and os.environ.get("BPMF_TRI_GROUPED", "1") == "1"
+    The env var is read ONCE per process (first consult) and pinned:
+    host-side packing (pack_prior_tri / tri_index_pairs at setup) and
+    kernel selection (tri_combine_solve_sample at trace) each call this,
+    and an env change between them would silently mismatch the packed
+    layout.  Tests A/B-ing both layouts call :func:`_tri_grouped_reset`
+    after setenv."""
+    global _TRI_GROUPED_ENV
+    if _TRI_GROUPED_ENV is None:
+        import os
+
+        _TRI_GROUPED_ENV = os.environ.get("BPMF_TRI_GROUPED", "0") == "1"
+    return k % 8 == 0 and _TRI_GROUPED_ENV
+
+
+def _tri_grouped_reset() -> None:
+    """Unpin the layout flag so the next :func:`tri_grouped` re-reads the
+    env (test hook — never call between packing and solving)."""
+    global _TRI_GROUPED_ENV
+    _TRI_GROUPED_ENV = None
 
 
 def tri_index_pairs(k: int, align: int = 8):

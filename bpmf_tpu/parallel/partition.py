@@ -269,13 +269,16 @@ class HaloLayout:
     everywhere and the plain all_gather collective is strictly better
     (``volume_ratio`` ≈ 1, and the auto mode keeps all_gather)."""
 
-    send_rows: np.ndarray   # [D, D, H] int32 — send_rows[s, t]: local row
-                            # indices of src s's other-side shard needed by
-                            # dst t (row s==t unused)
-    recv_pos: np.ndarray    # [D, D, H] int32 — recv_pos[t, s]: padded
-                            # global positions where rows from s land on t;
-                            # padding entries -> N (a dump slot)
-    halo_rows: int          # H: per-pair row count (padded, 8-aligned)
+    send_rows: tuple        # per ring round r=1..D-1: [D, H_r] int32 —
+                            # row s: local row indices of src s's other-side
+                            # shard needed by dst (s+r)%D
+    recv_pos: tuple         # per round: [D, H_r] int32 — row t: padded
+                            # global positions where rows from (t-r)%D land
+                            # on t; padding entries -> N (a dump slot)
+    pair_counts: np.ndarray  # [D, D] int64 — TRUE (unpadded) rows src needs
+                             # to send to dst; the per-pair message-count
+                             # matrix (assign.cpp:238-250 analog)
+    halo_rows: int          # max_r H_r (banner; per-round widths vary)
     volume_ratio: float     # padded halo volume / all_gather volume
 
 
@@ -287,7 +290,12 @@ def build_halo_layout(
     """For the sweep updating THIS side (``maps``): which OTHER-side rows
     each device's local ratings reference.  ``m_csc``: [num_other, num_this]
     with this side's items as columns (same orientation as
-    :func:`build_gather_layout`)."""
+    :func:`build_gather_layout`).
+
+    Payload widths are padded PER RING ROUND (H_r = max over the pairs at
+    ring distance r, 8-aligned) rather than one global max: SPMD needs a
+    uniform shape within a round, but skewed connectivity — one heavy pair
+    — then inflates only its own round's payload, not all D-1 of them."""
     n_dev = maps.n_devices
     lp = other_maps.local_pad
     other_map = np.asarray(other_maps.orig_to_padded, np.int64)
@@ -304,7 +312,7 @@ def build_halo_layout(
     lists: list[list[np.ndarray]] = [
         [np.zeros((0,), np.int32)] * n_dev for _ in range(n_dev)
     ]
-    h = 0
+    pair_counts = np.zeros((n_dev, n_dev), np.int64)
     for t in range(n_dev):
         src = need[t] // lp
         loc = (need[t] % lp).astype(np.int32)
@@ -313,24 +321,29 @@ def build_halo_layout(
                 continue
             sel = loc[src == s]
             lists[s][t] = sel
-            h = max(h, len(sel))
-    h = max(8, -(-h // 8) * 8)  # 8-sublane-aligned [H, K] payloads
+            pair_counts[s, t] = len(sel)
 
     n_global = other_maps.padded_num
-    send_rows = np.zeros((n_dev, n_dev, h), np.int32)
-    recv_pos = np.full((n_dev, n_dev, h), n_global, np.int32)  # pad -> dump
-    for s in range(n_dev):
-        for t in range(n_dev):
-            if s == t:
-                continue
+    send_rows, recv_pos, h_max, h_sum = [], [], 0, 0
+    for r in range(1, n_dev):
+        h_r = max(len(lists[s][(s + r) % n_dev]) for s in range(n_dev))
+        h_r = max(8, -(-h_r // 8) * 8)  # 8-sublane-aligned [H, K] payloads
+        h_max, h_sum = max(h_max, h_r), h_sum + h_r
+        sr = np.zeros((n_dev, h_r), np.int32)
+        rp = np.full((n_dev, h_r), n_global, np.int32)  # pad -> dump slot
+        for s in range(n_dev):
+            t = (s + r) % n_dev
             sel = lists[s][t]
-            send_rows[s, t, : len(sel)] = sel
-            recv_pos[t, s, : len(sel)] = s * lp + sel
-    ratio = h / lp if lp else 1.0
+            sr[s, : len(sel)] = sel
+            rp[t, : len(sel)] = s * lp + sel
+        send_rows.append(sr)
+        recv_pos.append(rp)
+    ratio = h_sum / ((n_dev - 1) * lp) if lp and n_dev > 1 else 1.0
     return HaloLayout(
-        send_rows=send_rows,
-        recv_pos=recv_pos,
-        halo_rows=h,
+        send_rows=tuple(send_rows),
+        recv_pos=tuple(recv_pos),
+        pair_counts=pair_counts,
+        halo_rows=h_max,
         volume_ratio=ratio,
     )
 

@@ -107,19 +107,23 @@ def _take0(b: BucketDev) -> BucketDev:
 
 def halo_gather(
     other_l: jax.Array,      # [lp, K] this device's shard of the frozen side
-    send_rows: jax.Array,    # [D, H] local rows to send to each dst
-    recv_pos: jax.Array,     # [D, H] global positions for rows from each src
+    send_rows: tuple,        # per round r=1..D-1: [H_r] local rows to send
+                             # to (me+r) % D
+    recv_pos: tuple,         # per round: [H_r] global positions for the
+                             # rows received from (me-r) % D
     n_devices: int,
 ) -> jax.Array:
     """Connectivity-aware replacement for the frozen-side ``all_gather``
     (partition.HaloLayout; opt_conn analog, c++/assign.cpp:215-286).
 
     D-1 ``ppermute`` rounds on a ring schedule; round r sends each device's
-    [H, K] payload to (me+r) % D and scatters the rows received from
-    (me-r) % D at their padded global positions.  Padding entries land on a
-    dump slot past the buffer end.  Returns a [D*lp, K] buffer identical to
-    the all_gather result on every row any bucket references; unreferenced
-    rows are zero (read only under a zero mask, ops/update.gram_rhs)."""
+    [H_r, K] payload to (me+r) % D and scatters the rows received from
+    (me-r) % D at their padded global positions.  Payload widths are
+    per-round statics (partition.build_halo_layout), so a single heavy pair
+    only inflates its own round.  Padding entries land on a dump slot past
+    the buffer end.  Returns a [D*lp, K] buffer identical to the all_gather
+    result on every row any bucket references; unreferenced rows are zero
+    (read only under a zero mask, ops/update.gram_rhs)."""
     lp, k = other_l.shape
     n_global = n_devices * lp
     me = lax.axis_index(AXIS)
@@ -129,14 +133,12 @@ def halo_gather(
         buf, other_l, (me * lp, jnp.zeros((), me.dtype))
     )
     for r in range(1, n_devices):
-        dst = (me + r) % n_devices
-        src = (me - r) % n_devices
-        payload = jnp.take(other_l, jnp.take(send_rows, dst, axis=0), axis=0)
+        payload = jnp.take(other_l, send_rows[r - 1], axis=0)
         recv = lax.ppermute(
             payload, AXIS,
             perm=[(i, (i + r) % n_devices) for i in range(n_devices)],
         )
-        buf = buf.at[jnp.take(recv_pos, src, axis=0)].set(recv)
+        buf = buf.at[recv_pos[r - 1]].set(recv)
     return buf[:n_global]
 
 
@@ -160,7 +162,8 @@ def gather_half_sweep(
     matmul_dtype: str = "float32",
     ablate: str = "",
     hp: Optional[HyperParams] = None,  # precomputed pair draw (sampler)
-    halo: tuple = (None, None),        # (send_rows, recv_pos) [D, D, H]
+    halo: tuple = (None, None),        # (send_rows, recv_pos): per-round
+                                       # tuples of [D, H_r] device arrays
 ) -> SideState:
     """Value-exchange half-sweep (Sys::sample + bcast-family comm).
 
@@ -185,7 +188,10 @@ def gather_half_sweep(
         )
         if halo_send_l is not None:
             other_full = halo_gather(
-                other_l, halo_send_l[0], halo_recv_l[0], n_dev
+                other_l,
+                tuple(x[0] for x in halo_send_l),
+                tuple(x[0] for x in halo_recv_l),
+                n_dev,
             )
         else:
             other_full = lax.all_gather(other_l, AXIS, tiled=True)
@@ -233,8 +239,9 @@ def gather_half_sweep(
         prop_mu_spec,
         prop_lam_spec,
         P(AXIS, None),            # other items
-        P(AXIS, None, None) if has_halo else P(),   # halo send_rows
-        P(AXIS, None, None) if has_halo else P(),   # halo recv_pos
+        # halo send_rows / recv_pos: per-round [D, H_r] arrays
+        tuple(P(AXIS, None) for _ in halo[0]) if has_halo else P(),
+        tuple(P(AXIS, None) for _ in halo[1]) if has_halo else P(),
     ) + tuple(s for _ in splits for s in bspecs)
     out_specs = (
         P(AXIS, None),
@@ -1159,6 +1166,7 @@ def predict_sharded(
     mean_rating: jax.Array,
     burnin: int,
     gather_dtype=None,
+    nnz_true: int | None = None,
 ):
     """Entry-sharded test evaluation (Sys::predict, c++/sample.cpp:48-96,
     whose reference analog restricts each rank to its local item range,
@@ -1189,6 +1197,7 @@ def predict_sharded(
             burnin=burnin,
             gather_dtype=gather_dtype,
             axis_name=AXIS,
+            nnz_true=nnz_true,
         )
         return est2.pavg, est2.pm2, rmse, rmse_avg
 

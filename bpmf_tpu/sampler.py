@@ -324,11 +324,10 @@ class BPMF:
             # sweep exchanges per-item statistics via psum_scatter — so an
             # explicit --mode reduce keeps REDUCE's memory contract
             # (c++/mpi_reduce.h:29-45) without falling back to the slow
-            # bucketed program (a banner line records the routing).  Only
-            # under the default solver
-            # family (a user-forced
-            # exact solver keeps the path that honors it), and only BEYOND
-            # the bf16 dense budget — below it the fused dense sweep with
+            # bucketed program (a banner line records the routing).
+            # Engage only under the default solver family — a user-forced
+            # exact solver keeps the path that honors it — and only BEYOND
+            # the bf16 dense budget: below it the fused dense sweep with
             # its precomputed operands wins (measured ml-1m synth: 7.8M
             # items/s fused vs 6.9M dense8; the in-kernel indicator /
             # centered-value derivation is dense8's price for 4x less HBM)
@@ -414,8 +413,13 @@ class BPMF:
                         cfg.bucket_growth,
                     )
                     # connectivity-aware exchange (opt_conn analog): only
-                    # when the per-pair halo at least halves the volume —
-                    # dense-connectivity datasets keep the all_gather
+                    # when the halo at least halves the volume —
+                    # dense-connectivity datasets keep the all_gather.
+                    # The 0.5 threshold is a layout-arithmetic heuristic,
+                    # not a measurement: D-1 serialized ppermute rounds can
+                    # lose to one fused all_gather near the break-even, and
+                    # real multi-chip hardware was unavailable to calibrate
+                    # it.  Force with --halo on/off where it matters.
                     if self.n_devices > 1 and cfg.halo != "off":
                         hl = part.build_halo_layout(
                             side.m, side.maps, other.maps
@@ -516,8 +520,10 @@ class BPMF:
             aux["halo"] = (None, None)
             if side.halo is not None:
                 aux["halo"] = (
-                    shard(jnp.asarray(side.halo.send_rows), 3),
-                    shard(jnp.asarray(side.halo.recv_pos), 3),
+                    tuple(shard(jnp.asarray(a), 2)
+                          for a in side.halo.send_rows),
+                    tuple(shard(jnp.asarray(a), 2)
+                          for a in side.halo.recv_pos),
                 )
             if prior_fast(side):
                 # packed-triangle per-item prior precision [T, num_pad]
@@ -750,7 +756,7 @@ class BPMF:
                 return predict_sharded(
                     mesh, ev, est, u_items, m_items, it,
                     mean_rating=mean_rating, burnin=cfg.burnin,
-                    gather_dtype=gather_dtype,
+                    gather_dtype=gather_dtype, nnz_true=len(self.t_val),
                 )
             return predict(
                 ev, est, u_items, m_items, it,
@@ -764,7 +770,7 @@ class BPMF:
                   ev, key, it, m_dense=None, u_dense=None, codes=None,
                   m_maps=None, u_maps=None, m_prior=(None, None),
                   u_prior=(None, None), m_halo=(None, None),
-                  u_halo=(None, None)):
+                  u_halo=(None, None), skip_predict=False):
             key_it = jax.random.fold_in(key, it)
             # both sides' hyperprior draws in one vmapped chain (they
             # condition only on the previous iteration's stats; sampled
@@ -794,7 +800,7 @@ class BPMF:
                 jax.random.fold_in(key_it, 1), it, self.users, codes=codes,
                 hp=hp_u, prior=u_prior, halo=u_halo,
             )
-            if "nopredict" in cfg.ablate.split(","):  # perf-debug
+            if skip_predict or "nopredict" in cfg.ablate.split(","):
                 est2, rmse, rmse_avg = est, jnp.zeros(()), jnp.zeros(())
             else:
                 est2, rmse, rmse_avg = run_predict(
@@ -823,21 +829,92 @@ class BPMF:
         import jax.lax as lax
 
         iter_impl = self._iter_impl
+        cfg = self.cfg
+        # chunk-batched eval (models/bpmf.predict_deferred): the scan emits
+        # each iteration's factor tables (n x ~10 MB at ml-1m — cheap) and
+        # ONE pair of big gathers replaces the n per-iteration pairs.  The
+        # XLA row gather's per-row cost improves with gather size
+        # (scripts/eval_gather_probe.py), and the per-iteration predict is
+        # the largest single cost of the ml-1m iteration (docs/PERF.md).
+        # Single-device only: the multi-device eval is already entry-sharded
+        # and the stacked tables would multiply the all_gather volume by n.
+        # deferral group size: the per-group footprint (2 g nnz_t K 4B of
+        # gather output + g (pn_u+pn_m) K 4B of stacked tables) must fit
+        # the budget — at ml-25M scale (6M test entries) unbounded deferral
+        # OOMs the chip, while at ml-1m the probe-measured fixed gather
+        # cost (~0.55 ms regardless of 100k..800k rows,
+        # scripts/eval_gather_probe.py) amortizes ~1/g per iteration.
+        k = cfg.num_latent
+        per_iter_bytes = 4 * k * (
+            2 * len(self.t_val)
+            + self.users.maps.padded_num
+            + self.movies.maps.padded_num
+        )
+        g = min(n, max(1, cfg.defer_predict_limit_bytes // per_iter_bytes),
+                32)  # ≥97% of the fixed cost is gone by g=32
+        defer = (
+            cfg.defer_predict != "off"
+            and (cfg.defer_predict == "on" or self.n_devices == 1)
+            and g > 1
+            and "nopredict" not in cfg.ablate.split(",")
+        )
 
         def chunk(state_m, state_u, est, m_gdata, m_rdata, u_gdata, u_rdata,
                   ev, key, it0, m_dense, u_dense, codes, m_maps, u_maps,
                   m_prior, u_prior, m_halo, u_halo):
-            def body(carry, j):
+            def body(carry, it):
                 sm, su, e = carry
                 sm, su, e, met = iter_impl(
                     sm, su, e, m_gdata, m_rdata, u_gdata, u_rdata,
-                    ev, key, it0 + j, m_dense, u_dense, codes, m_maps, u_maps,
+                    ev, key, it, m_dense, u_dense, codes, m_maps, u_maps,
                     m_prior, u_prior, m_halo, u_halo,
+                    skip_predict=defer,
                 )
-                return (sm, su, e), met
-            (sm, su, e), mets = lax.scan(
-                body, (state_m, state_u, est), jnp.arange(n, dtype=jnp.int32)
+                ys = (met, (su.items, sm.items)) if defer else (met, None)
+                return (sm, su, e), ys
+
+            if not defer:
+                (sm, su, e), (mets, _) = lax.scan(
+                    body, (state_m, state_u, est),
+                    it0 + jnp.arange(n, dtype=jnp.int32),
+                )
+                return sm, su, e, mets
+
+            from bpmf_tpu.models.bpmf import predict_deferred
+
+            def sweep_group(carry, its_g):
+                # its_g: [g] absolute iteration numbers.  gather_dtype None
+                # matches the in-iteration predict bitwise (bf16 gathers
+                # measured slower there anyway, docs/PERF.md §predict).
+                carry, (mets, stacks) = lax.scan(body, carry, its_g)
+                sm, su, e = carry
+                e, rmse, rmse_avg = predict_deferred(
+                    ev, e, stacks[0], stacks[1], its_g[0],
+                    mean_rating=self._mean_rating_dev,
+                    burnin=cfg.burnin,
+                )
+                mets = Metrics(
+                    rmse=rmse, rmse_avg=rmse_avg,
+                    norm_users=mets.norm_users,
+                    norm_movies=mets.norm_movies,
+                )
+                return (sm, su, e), mets
+
+            q, r = divmod(n, g)
+            carry = (state_m, state_u, est)
+            its = it0 + jnp.arange(q * g, dtype=jnp.int32).reshape(q, g)
+            carry, mets = lax.scan(sweep_group, carry, its)
+            mets = jax.tree.map(
+                lambda x: x.reshape((q * g,) + x.shape[2:]), mets
             )
+            if r:
+                carry, mets_r = sweep_group(
+                    carry, it0 + q * g + jnp.arange(r, dtype=jnp.int32)
+                )
+                mets = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), mets, mets_r
+                )
+            sm, su, e = carry
             return sm, su, e, mets
 
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
@@ -958,9 +1035,17 @@ class BPMF:
             if side.halo is not None:
                 # connectivity-aware exchange chosen (opt_conn analog)
                 self._log(
-                    f"halo {side.name}: {side.halo.halo_rows} rows/pair "
-                    f"(volume {side.halo.volume_ratio:.2f}x of all_gather)"
+                    f"halo {side.name}: <= {side.halo.halo_rows} rows/pair "
+                    f"(per-round widths; volume "
+                    f"{side.halo.volume_ratio:.2f}x of all_gather)"
                 )
+                # per-pair message-count matrix (assign.cpp:238-250 analog)
+                pc = side.halo.pair_counts
+                self._log(f"halo {side.name} rows from -> to:")
+                for s in range(pc.shape[0]):
+                    self._log(
+                        "  " + " ".join(f"{int(c):7d}" for c in pc[s])
+                    )
 
     # -- Gibbs loop --------------------------------------------------------
 

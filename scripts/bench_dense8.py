@@ -48,10 +48,14 @@ def check_correct(fold: str = "1"):
     )(jnp.asarray(codes), packed_tri_t(v_t), v_t)
     gram_ref = ind @ (v[:, tri_i] * v[:, tri_j])
     rhs_ref = cv @ v
+    # interpret mode (CPU) computes exactly; the real MXU multiplies f32
+    # via bf16 passes at default precision -> ~1e-3 rel err is expected
+    # (the production sweep feeds bf16 operands by design, docs/PERF.md)
+    tol = 1e-5 if interp else 5e-3
     err_g = np.abs(np.asarray(gram_t)[:t].T - gram_ref).max() / np.abs(gram_ref).max()
     err_r = np.abs(np.asarray(rhs_t).T - rhs_ref).max() / np.abs(rhs_ref).max()
     print("rows: rel err gram", err_g, "rhs", err_r)
-    assert err_g < 1e-5 and err_r < 1e-5
+    assert err_g < tol and err_r < tol
 
     # cols orientation: same codes, now items are the columns
     u = rng.normal(size=(r, k)).astype(np.float32)
@@ -64,7 +68,7 @@ def check_correct(fold: str = "1"):
     err_g = np.abs(np.asarray(gram_t)[:t] - gram_ref_t).max() / np.abs(gram_ref_t).max()
     err_r = np.abs(np.asarray(rhs_t) - rhs_ref_t).max() / np.abs(rhs_ref_t).max()
     print("cols: rel err gram", err_g, "rhs", err_r)
-    assert err_g < 1e-5 and err_r < 1e-5
+    assert err_g < tol and err_r < tol
     print(f"correctness OK (fold={fold})")
 
 

@@ -119,6 +119,54 @@ def main():
         t = bench(predict_fused, jnp.asarray(a), jnp.asarray(b))
         print(f"  fused-1-gather {name} {t*1e3:8.4f} ms")
 
+    # ---- round-4 hypotheses ----
+    # (a) per-row rate vs total rows: the first probe round measured a
+    # 200k-row gather at the SAME wall time as 100k rows (2.6 vs 5.6
+    # ns/row), suggesting per-gather fixed cost dominates — if the rate
+    # keeps improving with size, DEFERRING the chunk's predicts into one
+    # big gather (indices are iteration-invariant; tables stacked) cuts
+    # the per-iteration cost by ~the chunk length.
+    print("gather rate vs rows (one take from [6144,32]):")
+    for mult in (1, 2, 4, 8):
+        idx = jnp.asarray(np.tile(tu_rand, mult))
+        t = bench(one_gather, idx)
+        print(f"  {mult*NNZ:>8d} rows {t*1e3:8.4f} ms "
+              f"({t/(mult*NNZ)*1e9:6.2f} ns/row)")
+
+    # (b) unchecked gather: fill_value forces a bounds-check + select;
+    # indices are host-validated, so promise_in_bounds is safe
+    def one_gather_unchecked(idx):
+        def body(c, _):
+            g = u.at[idx + c].get(mode="promise_in_bounds")
+            return c + jnp.asarray(0, jnp.int32), jnp.sum(g)
+
+        _, s = jax.lax.scan(body, jnp.asarray(0, jnp.int32), None,
+                            length=STEPS)
+        return jnp.sum(s)
+
+    t = bench(one_gather_unchecked, cases["random"])
+    print(f"  unchecked(random) {t*1e3:8.4f} ms ({t/NNZ*1e9:6.2f} ns/row)")
+
+    # (c) dense P = U M^T on the MXU + flat SCALAR extraction: row width
+    # drops 32->1; if the gather is per-row latency-bound the scalar
+    # extraction costs the same, but if byte-bound it is 32x cheaper.
+    flat = jnp.asarray(tu_rand.astype(np.int64) * N_M
+                       + ti_rand.astype(np.int64))
+
+    def predict_dense(fidx):
+        def body(c, _):
+            p = jnp.dot(u, m.T, preferred_element_type=jnp.float32)
+            pe = p.reshape(-1).at[fidx + c].get(mode="promise_in_bounds")
+            se = jnp.sum((tv - pe) ** 2)
+            return c + jnp.asarray(0, jnp.int64), se
+
+        _, s = jax.lax.scan(body, jnp.asarray(0, jnp.int64), None,
+                            length=STEPS)
+        return jnp.sum(s)
+
+    t = bench(predict_dense, flat)
+    print(f"  dense P + scalar extract {t*1e3:8.4f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -9,8 +9,10 @@
 set -x
 cd "$(dirname "$0")/.."
 
-# 0. tiny CLI smoke on the real TPU (first Mosaic compile of new kernels)
-( cd $(mktemp -d) && mkdir output && timeout 900 python -m bpmf_tpu.cli -r -k -i 9 -b 0 -v \
+# 0. tiny CLI smoke on the real TPU (first Mosaic compile of new kernels).
+# PYTHONPATH: the package is not pip-installed, and the run cd's away.
+( export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" && cd $(mktemp -d) && \
+    mkdir output && timeout 900 python -m bpmf_tpu.cli -r -k -i 9 -b 0 -v \
     -n /root/reference/data/tiny/train.mtx -p /root/reference/data/tiny/test.mtx \
     -o output/ && grep "Final Avg RMSE" bpmf_0.out ) > /tmp/tpuq_tiny.log 2>&1
 

@@ -39,11 +39,16 @@ def _parse_lines(text: str) -> list[dict]:
 def test_main_headline_prints_even_when_every_leg_fails(monkeypatch, capsys):
     """A dead platform + failing legs must still produce the one-line
     headline contract (value 0, rc 0) instead of dying."""
-    monkeypatch.setattr(bench, "tpu_reachable", lambda: "tpu_unreachable")
+    monkeypatch.setattr(bench, "tpu_reachable",
+                        lambda timeout_s=150.0: "tpu_unreachable")
+    # a dead probe is retried until half the budget is spent — shrink the
+    # budget so the fallback is immediate
+    monkeypatch.setattr(bench, "BUDGET_S", 0.01)
     monkeypatch.setattr(
         bench,
         "run_leg",
-        lambda leg, timeout_s, cpu: {"skipped": "leg_timeout", "leg": leg},
+        lambda leg, timeout_s, cpu, env_overrides=None:
+            {"skipped": "leg_timeout", "leg": leg},
     )
     bench.main()
     out = _parse_lines(capsys.readouterr().out)
@@ -61,13 +66,14 @@ def test_main_salvages_midrun_wedge_with_cpu_leg(monkeypatch, capsys):
     skipped with the marker as reason."""
     calls = []
 
-    def fake_run_leg(leg, timeout_s, cpu):
+    def fake_run_leg(leg, timeout_s, cpu, env_overrides=None):
         calls.append((leg, cpu))
         if not cpu:
             return {"skipped": "leg_timeout", "leg": leg}
         return {"items_per_sec": 1000.0, "backend": "cpu"}
 
-    monkeypatch.setattr(bench, "tpu_reachable", lambda: "tpu")
+    monkeypatch.setattr(bench, "tpu_reachable",
+                        lambda timeout_s=150.0: "tpu")
     monkeypatch.setattr(bench, "run_leg", fake_run_leg)
     bench.main()
     assert calls == [("ml1m", False), ("ml1m", True)]
@@ -79,13 +85,14 @@ def test_main_salvages_midrun_wedge_with_cpu_leg(monkeypatch, capsys):
 def test_main_happy_path_runs_secondaries(monkeypatch, capsys):
     legs = []
 
-    def fake_run_leg(leg, timeout_s, cpu):
+    def fake_run_leg(leg, timeout_s, cpu, env_overrides=None):
         legs.append(leg)
         assert not cpu
         assert timeout_s > 60
         return {"items_per_sec": 5e6, "backend": "tpu"}
 
-    monkeypatch.setattr(bench, "tpu_reachable", lambda: "tpu")
+    monkeypatch.setattr(bench, "tpu_reachable",
+                        lambda timeout_s=150.0: "tpu")
     monkeypatch.setattr(bench, "run_leg", fake_run_leg)
     monkeypatch.delenv("BENCH_FAST", raising=False)
     bench.main()
@@ -102,3 +109,23 @@ def _reset_budget_clock(monkeypatch):
 
     monkeypatch.setattr(bench, "T0", time.time())
     monkeypatch.setattr(bench, "BUDGET_S", 720.0)
+
+
+def test_tpu_reachable_retry_recovers_midbudget(monkeypatch):
+    """A transient wedge that clears before half the budget is spent must
+    NOT forfeit the round to CPU (round-3's single t=0 probe did)."""
+    seq = iter(["tpu_unreachable", "tpu_unreachable", "tpu"])
+    sleeps = []
+    monkeypatch.setattr(bench, "tpu_reachable",
+                        lambda timeout_s=150.0: next(seq))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setattr(bench, "BUDGET_S", 1e9)
+    assert bench.tpu_reachable_retry() == "tpu"
+    assert len(sleeps) == 2
+
+
+def test_tpu_reachable_retry_gives_up_past_half_budget(monkeypatch):
+    monkeypatch.setattr(bench, "tpu_reachable",
+                        lambda timeout_s=150.0: "tpu_unreachable")
+    monkeypatch.setattr(bench, "BUDGET_S", 0.01)
+    assert bench.tpu_reachable_retry() == "tpu_unreachable"

@@ -69,3 +69,29 @@ def test_cli_modes_and_devices(tiny_files):
     for extra in (["--mode", "reduce"], ["--devices", "4"],
                   ["--chunk", "3"], ["--diagonal-only"], ["--profile"]):
         assert cli.main(["-n", tr, "-p", te, "-i", "2", "-b", "0"] + extra) == 0
+
+
+def test_cli_wedged_tunnel_fails_loudly(tiny_files, monkeypatch, capsys):
+    """A wedged accelerator tunnel must produce a bounded, actionable
+    failure, not an infinite hang (reference posture: errors are fatal,
+    c++/mpi_common.h:16).  The probe is monkeypatched to simulate the
+    wedge; JAX_PLATFORMS must not say cpu or the probe is skipped."""
+    tr, te = tiny_files
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("BPMF_PROBE_TIMEOUT_S", "5")
+    monkeypatch.setattr(cli, "_device_probe", lambda timeout_s: False)
+    rc = cli.main(["-n", tr, "-p", te, "-i", "1"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "unreachable" in err and "--platform cpu" in err
+
+
+def test_cli_probe_skipped_on_explicit_cpu(tiny_files, monkeypatch):
+    """--platform cpu must never pay (or fail) the acquisition probe."""
+    tr, te = tiny_files
+    monkeypatch.setattr(
+        cli, "_device_probe",
+        lambda timeout_s: (_ for _ in ()).throw(AssertionError("probed")))
+    rc = cli.main(["-n", tr, "-p", te, "-i", "1", "-b", "0",
+                   "--platform", "cpu"])
+    assert rc == 0

@@ -231,3 +231,31 @@ def test_sharded_trajectory_matches_single_device():
     assert s_4.users.impl == "dense8" and s_4.movies.impl == "dense8"
     assert r_4 == pytest.approx(r_1, abs=2e-5)
     assert s_4.rmse == pytest.approx(s_1.rmse, abs=2e-5)
+
+
+def test_fold_and_grouped_flags_trajectory_equality(monkeypatch):
+    """Explicit A/B of the two round-3 kernel-variant knobs at trajectory
+    level: BPMF_D8_FOLD (affine fold into the matmul operands,
+    ops/dense8._call) and BPMF_TRI_GROUPED (top-aligned packed solver
+    layout, ops/pallas_solve.tri_grouped) must not change the sampled
+    trajectory — in f32 on CPU the decode paths are exact, so rmse values
+    agree to float tolerance across all four flag combinations."""
+    import bpmf_tpu.ops.pallas_solve as ps
+
+    train, test = synth_movielens(
+        n_users=120, n_movies=80, n_ratings=1200, seed=3
+    )
+    results = {}
+    for fold in ("0", "1"):
+        for grouped in ("0", "1"):
+            monkeypatch.setenv("BPMF_D8_FOLD", fold)
+            monkeypatch.setenv("BPMF_TRI_GROUPED", grouped)
+            ps._tri_grouped_reset()  # the flag pins at first consult
+            s, r = _run(train, test, "dense8", nsims=4)
+            assert s.users.impl == "dense8"
+            results[(fold, grouped)] = (r, s.rmse)
+    ps._tri_grouped_reset()
+    base = results[("1", "1")]
+    for combo, got in results.items():
+        assert got[0] == pytest.approx(base[0], abs=1e-5), combo
+        assert got[1] == pytest.approx(base[1], abs=1e-5), combo

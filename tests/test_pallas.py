@@ -61,6 +61,7 @@ def test_tri_grouped_matches_ungrouped(rng, monkeypatch, k, b):
     outs, outs_p = {}, {}
     for flag in ("0", "1"):
         monkeypatch.setenv("BPMF_TRI_GROUPED", flag)
+        ps._tri_grouped_reset()  # the flag is pinned at first consult
         g_al = ps.tri_expand_rows(jnp.asarray(g_tight), k)
         outs[flag] = np.asarray(ps.tri_combine_solve_sample(
             g_al, jnp.asarray(lam), jnp.asarray(rhs), jnp.asarray(noise),

@@ -173,3 +173,37 @@ def test_k64_end_to_end():
     s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
     rmse_avg = s.run()
     assert np.isfinite(rmse_avg) and rmse_avg < 4.5
+
+
+def test_defer_predict_trajectory_equality():
+    """Chunk-batched deferred eval (models/bpmf.predict_deferred) must
+    reproduce the per-iteration predict exactly: same per-iteration
+    rmse/rmse_avg and the same Welford state."""
+    import jax
+    import numpy as np
+
+    from bpmf_tpu.config import Config
+    from bpmf_tpu.sampler import BPMF
+    from tests.conftest import make_ratings
+
+    train, test = make_ratings(n_users=60, n_movies=40, seed=11)
+
+    def run(defer, n):
+        cfg = Config(num_latent=8, nsims=20, burnin=2, n_devices=1,
+                     seed=5, defer_predict=defer)
+        s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+        s.setup()
+        mets = jax.device_get(s.run_chunk(n))
+        return s, mets
+
+    s_off, m_off = run("off", 6)
+    s_on, m_on = run("auto", 6)
+    np.testing.assert_allclose(m_on.rmse, m_off.rmse, rtol=1e-6)
+    np.testing.assert_allclose(m_on.rmse_avg, m_off.rmse_avg, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_on.est.pavg), np.asarray(s_off.est.pavg), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_on.est.pm2), np.asarray(s_off.est.pm2),
+        rtol=1e-5, atol=1e-6
+    )

@@ -333,17 +333,20 @@ def test_halo_gather_matches_all_gather():
     table = rng.normal(size=(d * lp, k)).astype(np.float32)
 
     def body(other_l, send_l, recv_l):
-        return halo_gather(other_l, send_l[0], recv_l[0], d)
+        return halo_gather(other_l, tuple(x[0] for x in send_l),
+                           tuple(x[0] for x in recv_l), d)
 
     out = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None, None), P(AXIS, None, None)),
+        in_specs=(P(AXIS, None),
+                  tuple(P(AXIS, None) for _ in hl.send_rows),
+                  tuple(P(AXIS, None) for _ in hl.recv_pos)),
         out_specs=P(AXIS, None),  # [D * D*lp, K]: each device's full buffer
         check_vma=False,
     )(
         jnp.asarray(table),
-        jnp.asarray(hl.send_rows),
-        jnp.asarray(hl.recv_pos),
+        tuple(jnp.asarray(a) for a in hl.send_rows),
+        tuple(jnp.asarray(a) for a in hl.recv_pos),
     )
     out = np.asarray(out).reshape(d, d * lp, k)
     other_map = np.asarray(other_maps.orig_to_padded)
@@ -382,19 +385,24 @@ def test_halo_layout_empty_shards():
     )
     hl = part.build_halo_layout(m, tm, om)
     d, lp = 8, om.local_pad
-    assert hl.send_rows.shape == (d, d, hl.halo_rows)
-    assert hl.recv_pos.shape == (d, d, hl.halo_rows)
-    # send rows index into the source shard; recv positions are in-range
-    # padded global ids or the dump slot
-    assert hl.send_rows.min() >= 0 and hl.send_rows.max() < lp
-    assert hl.recv_pos.min() >= 0 and hl.recv_pos.max() <= om.padded_num
+    # per-round tables: D-1 rounds, each [D, H_r] with 8-aligned H_r
+    assert len(hl.send_rows) == d - 1 and len(hl.recv_pos) == d - 1
+    for sr, rp in zip(hl.send_rows, hl.recv_pos):
+        assert sr.shape[0] == d and rp.shape == sr.shape
+        assert sr.shape[1] % 8 == 0 and sr.shape[1] <= hl.halo_rows
+        # send rows index into the source shard; recv positions are
+        # in-range padded global ids or the dump slot
+        assert sr.min() >= 0 and sr.max() < lp
+        assert rp.min() >= 0 and rp.max() <= om.padded_num
+    assert hl.pair_counts.shape == (d, d)
+    assert hl.pair_counts.diagonal().sum() == 0
     # every real recv position is consistent with its send row
-    for s in range(d):
-        for t in range(d):
-            if s == t:
-                continue
-            real = hl.recv_pos[t, s] < om.padded_num
+    for r in range(1, d):
+        sr, rp = hl.send_rows[r - 1], hl.recv_pos[r - 1]
+        for s in range(d):
+            t = (s + r) % d
+            real = rp[t] < om.padded_num
+            assert real.sum() == hl.pair_counts[s, t]
             np.testing.assert_array_equal(
-                hl.recv_pos[t, s][real],
-                s * lp + hl.send_rows[s, t][: real.sum()],
+                rp[t][real], s * lp + sr[s][: real.sum()]
             )
