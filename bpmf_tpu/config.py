@@ -93,12 +93,15 @@ class Config:
                                   # tests only); 'off' disables
     defer_predict: str = "auto"   # chunk-batched test evaluation
                                   # (models/bpmf.predict_deferred): one
-                                  # 2(n x nnz_t)-row gather per chunk
-                                  # instead of 2n nnz_t-row gathers —
-                                  # trajectory-exact.  'auto' = single
-                                  # device with chunk > 1 AND the chunk's
-                                  # gather footprint under the limit below;
-                                  # 'off' keeps the per-iteration predict
+                                  # 2(g x nnz_t)-row gather per group of g
+                                  # iterations instead of 2g nnz_t-row
+                                  # gathers — trajectory-exact.  'auto'
+                                  # resolves to OFF: the in-context A/B
+                                  # measured deferral slower than the
+                                  # in-iteration predict in both regimes
+                                  # (scripts/defer_ab.py; sampler._chunk_fn
+                                  # has the numbers).  'on' forces it
+                                  # (single-device programs only)
     defer_predict_limit_bytes: int = 512 << 20
                                   # deferral footprint cap for 'auto':
                                   # ~2 n nnz_t K 4B of gather output +

@@ -30,7 +30,10 @@ to float reduction order.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -469,6 +472,7 @@ def dense_half_sweep_fused(
     from bpmf_tpu.ops.pallas_solve import (
         tri_combine_solve_sample,
         tri_expand_rows,
+        tri_index_pairs,
         tri_tight_pairs,
     )
 
@@ -478,9 +482,23 @@ def dense_half_sweep_fused(
         hp = _hyper(jax.random.fold_in(key, 0), num, state, ablate)
     side_key = jax.random.fold_in(key, 1)
     md = a_ind_t.dtype
-    # TIGHT triangle for the Gram matmul (no per-column pad flops); the
-    # result is row-expanded into the solver's aligned layout below
-    tri_i_np, tri_j_np, row_map_np = tri_tight_pairs(k)
+    # Triangle layout for the Gram matmul: TIGHT (no per-column pad rows,
+    # ~0.85x the MXU flops) needs a [T_tight, I] -> [T, I] row-expansion
+    # memory pass before the solver — 1.23 ms at chembl's I=167k (measured,
+    # scripts/bench_solver.py) vs ~0.1 ms of pad flops for emitting the
+    # ALIGNED layout straight from the matmul.  Expansion traffic scales
+    # with I (local items), the wider p_tri operand with N (frozen side),
+    # so: aligned when I >= N, tight+expand otherwise.  BPMF_TRI_ALIGNED_MM
+    # in {auto,0,1} overrides (A/B knob).
+    i_items = a_val.shape[0] // mesh.devices.size
+    n_other = a_ind_t.shape[0]
+    _amm = os.environ.get("BPMF_TRI_ALIGNED_MM", "auto")
+    mm_aligned = (i_items >= n_other) if _amm == "auto" else _amm == "1"
+    if mm_aligned:
+        tri_i_np, tri_j_np = tri_index_pairs(k)
+        row_map_np = np.arange(tri_i_np.shape[0], dtype=np.int32)
+    else:
+        tri_i_np, tri_j_np, row_map_np = tri_tight_pairs(k)
     tri_i = jnp.asarray(tri_i_np)
     tri_j = jnp.asarray(tri_j_np)
 
@@ -506,8 +524,9 @@ def dense_half_sweep_fused(
                        * jnp.take(v_t, tri_j, axis=0)).astype(md)
             gram_tri_t = jnp.matmul(
                 p_tri_t, a_ind_t_l, preferred_element_type=dtype
-            )                                                    # [T_tight, I]
-            gram_tri_t = tri_expand_rows(gram_tri_t, k)          # [T, I]
+            )                                                    # [T*, I]
+            if not mm_aligned:
+                gram_tri_t = tri_expand_rows(gram_tri_t, k)      # [T, I]
             rhs = jnp.matmul(
                 a_val_l, other_full.astype(md), preferred_element_type=dtype
             )                                                    # [I, K]

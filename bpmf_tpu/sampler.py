@@ -852,9 +852,17 @@ class BPMF:
         )
         g = min(n, max(1, cfg.defer_predict_limit_bytes // per_iter_bytes),
                 32)  # ≥97% of the fixed cost is gone by g=32
+        # 'auto' resolves to OFF: the in-context A/B (scripts/defer_ab.py,
+        # v5e) measured deferral SLOWER than the in-iteration predict in
+        # both regimes — ml-1m 1.281 vs 1.179 ms/iter (g=19), chembl
+        # 13.56 vs 10.64 (g=13) — the opposite of the out-of-context
+        # gather probe's prediction (the group restructure costs more
+        # than the amortized gather saves; chembl's delta tracks its big
+        # aggr arrays through the nested scan).  Kept as an explicit
+        # 'on' knob for re-measurement on other hardware.
         defer = (
-            cfg.defer_predict != "off"
-            and (cfg.defer_predict == "on" or self.n_devices == 1)
+            cfg.defer_predict == "on"
+            and self.n_devices == 1
             and g > 1
             and "nopredict" not in cfg.ablate.split(",")
         )

@@ -197,7 +197,7 @@ def test_defer_predict_trajectory_equality():
         return s, mets
 
     s_off, m_off = run("off", 6)
-    s_on, m_on = run("auto", 6)
+    s_on, m_on = run("on", 6)
     np.testing.assert_allclose(m_on.rmse, m_off.rmse, rtol=1e-6)
     np.testing.assert_allclose(m_on.rmse_avg, m_off.rmse_avg, rtol=1e-6)
     np.testing.assert_allclose(
