@@ -55,8 +55,15 @@ def _side_to_host(side, state: SideState) -> dict:
         "norm": to_host(state.norm, np.float64),
     }
     if state.aggr_mu is not None:
+        from bpmf_tpu.models.bpmf import aggr_prod_full
+
         out["aggr_mu"] = to_host(state.aggr_mu, np.float64)[idx]
-        out["aggr_prod"] = to_host(state.aggr_prod, np.float64)[idx]
+        # the on-disk format keeps the full [num, K, K] (stable across the
+        # packed-triangle device-state change; pack again on load)
+        out["aggr_prod"] = aggr_prod_full(
+            to_host(state.aggr_prod, np.float64)[idx],
+            state.aggr_mu.shape[-1],
+        )
     return out
 
 
@@ -112,13 +119,18 @@ def _side_from_host(sampler, side, data: dict, prefix: str, aggregate: bool) -> 
     aggr_mu = aggr_prod = None
     if aggregate:
         if f"{prefix}.aggr_mu" in data:
+            from bpmf_tpu.models.bpmf import aggr_prod_pack
+
             aggr_mu = shard(jnp.asarray(scatter(data[f"{prefix}.aggr_mu"]), dtype), 0)
             aggr_prod = shard(
-                jnp.asarray(scatter(data[f"{prefix}.aggr_prod"]), dtype), 0
+                jnp.asarray(
+                    aggr_prod_pack(scatter(data[f"{prefix}.aggr_prod"])), dtype
+                ),
+                0,
             )
         else:
             aggr_mu = shard(jnp.zeros((pn, k), dtype), 0)
-            aggr_prod = shard(jnp.zeros((pn, k, k), dtype), 0)
+            aggr_prod = shard(jnp.zeros((pn, k * (k + 1) // 2), dtype), 0)
     return SideState(
         items=items,
         hp=hp,

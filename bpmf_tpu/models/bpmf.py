@@ -35,6 +35,14 @@ class SideState(NamedTuple):
     Mirrors Sys fields: items (c++/bpmf.h:193-194), sum/cov/norm
     (c++/bpmf.h:221-223), hp (c++/bpmf.h:226), aggrMu/aggrLambda
     (c++/bpmf.h:212-213; `aggr_prod` holds the running sum of u u').
+
+    ``aggr_prod`` stores only the packed lower triangle — u_valid (x) u is
+    symmetric per item (validity is a per-item scalar), so the full
+    [num_pad, K, K] form wastes ~half the aggregation's HBM read+write
+    every post-burn-in half-sweep (686 MB of state at chembl's 167k
+    items, 910 MB at ml-25M).  Pair order is column-major over columns j,
+    rows i=j..K-1 (:func:`aggr_pair_indices`); hosts expand with
+    :func:`aggr_prod_full` at finalize/checkpoint time.
     """
 
     items: jax.Array            # [num_pad, K]
@@ -43,7 +51,7 @@ class SideState(NamedTuple):
     cov: jax.Array              # [K, K]
     norm: jax.Array             # scalar — sum of squared norms
     aggr_mu: Optional[jax.Array] = None    # [num_pad, K]
-    aggr_prod: Optional[jax.Array] = None  # [num_pad, K, K]
+    aggr_prod: Optional[jax.Array] = None  # [num_pad, K(K+1)/2] packed
 
 
 class SideData(NamedTuple):
@@ -83,6 +91,48 @@ class Metrics(NamedTuple):
     norm_movies: jax.Array  # ||V||_F
 
 
+def aggr_pair_indices(k: int):
+    """(ii, jj) numpy index pairs of the packed aggr_prod layout:
+    column-major lower triangle, length k(k+1)/2."""
+    import numpy as np
+
+    pairs = [(i, j) for j in range(k) for i in range(j, k)]
+    ii = np.asarray([p[0] for p in pairs], np.int32)
+    jj = np.asarray([p[1] for p in pairs], np.int32)
+    return ii, jj
+
+
+def aggr_prod_update(uv: jax.Array, u: jax.Array) -> jax.Array:
+    """Packed-triangle outer-product batch [S, k(k+1)/2]: entry (i, j),
+    i >= j, holds uv[:, i] * u[:, j] — equal to the full product's (j, i)
+    mirror because uv = u * valid with a per-item scalar valid.  Built
+    from static slices (a lane-dim jnp.take over k=32 would lower to a
+    gather); XLA fuses the k pieces into one elementwise kernel."""
+    k = u.shape[-1]
+    return jnp.concatenate(
+        [uv[:, j:] * u[:, j : j + 1] for j in range(k)], axis=1
+    )
+
+
+def aggr_prod_full(packed, k: int):
+    """Host-side expansion of the packed aggr_prod back to the full
+    symmetric [..., k, k] (finalize_mu_lambda / checkpoint format)."""
+    import numpy as np
+
+    ii, jj = aggr_pair_indices(k)
+    full = np.zeros(packed.shape[:-1] + (k, k), packed.dtype)
+    full[..., ii, jj] = packed
+    full[..., jj, ii] = packed
+    return full
+
+
+def aggr_prod_pack(full):
+    """Host-side inverse of :func:`aggr_prod_full` (checkpoint load)."""
+    k = full.shape[-1]
+    ii, jj = aggr_pair_indices(k)
+    return full[..., ii, jj]
+
+
 def init_side_state(
     num_pad: int,
     num_latent: int,
@@ -98,7 +148,8 @@ def init_side_state(
         cov=jnp.zeros((k, k), dtype),
         norm=jnp.zeros((), dtype),
         aggr_mu=jnp.zeros((num_pad, k), dtype) if aggregate else None,
-        aggr_prod=jnp.zeros((num_pad, k, k), dtype) if aggregate else None,
+        aggr_prod=(jnp.zeros((num_pad, k * (k + 1) // 2), dtype)
+                   if aggregate else None),
     )
 
 
@@ -180,7 +231,7 @@ def sweep_core(
         # aggrMu/aggrLambda accumulation post-burnin (c++/sample.cpp:364-368)
         aggr_mu = aggr_mu.at[item_ids].add(uv * aggr_on, mode="drop")
         aggr_prod = aggr_prod.at[item_ids].add(
-            jnp.einsum("sk,sl->skl", uv * aggr_on, u), mode="drop"
+            aggr_prod_update(uv * aggr_on, u), mode="drop"
         )
     return items, s, prod, norm, aggr_mu, aggr_prod
 

@@ -40,7 +40,12 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from bpmf_tpu.models.bpmf import SideData, SideState, sweep_core
+from bpmf_tpu.models.bpmf import (
+    SideData,
+    SideState,
+    aggr_prod_update,
+    sweep_core,
+)
 from bpmf_tpu.ops.mvnormal import HyperParams, sample_hyper
 from bpmf_tpu.ops.cholsolve import get_solver
 from bpmf_tpu.ops.update import (
@@ -231,7 +236,7 @@ def gather_half_sweep(
         return items_l, aggr_mu_l, aggr_prod_l, s, prod, norm
 
     aggr_spec = P(AXIS, None) if has_aggr else P()
-    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None) if has_aggr else P()
     prop_mu_spec = P(AXIS, None) if has_prop else P()
     prop_lam_spec = P(AXIS, None, None) if has_prop else P()
     bspecs = _bucket_specs()
@@ -379,11 +384,11 @@ def dense_half_sweep(
         aggr_on = jnp.asarray(it >= burnin, dtype)
         if aggr_mu_l is not None:
             aggr_mu_l = aggr_mu_l + uv * aggr_on
-            aggr_prod_l = aggr_prod_l + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+            aggr_prod_l = aggr_prod_l + aggr_prod_update(uv * aggr_on, u)
         return u, aggr_mu_l, aggr_prod_l, s, prod, norm
 
     aggr_spec = P(AXIS, None) if has_aggr else P()
-    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None) if has_aggr else P()
     prop_mu_spec = P(AXIS, None) if has_prop else P()
     prop_lam_spec = P(AXIS, None, None) if has_prop else P()
     in_specs = (
@@ -560,11 +565,11 @@ def dense_half_sweep_fused(
         aggr_on = jnp.asarray(it >= burnin, dtype)
         if aggr_mu_l is not None:
             aggr_mu_l = aggr_mu_l + uv * aggr_on
-            aggr_prod_l = aggr_prod_l + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+            aggr_prod_l = aggr_prod_l + aggr_prod_update(uv * aggr_on, u)
         return u, aggr_mu_l, aggr_prod_l, s, prod, norm
 
     aggr_spec = P(AXIS, None) if has_aggr else P()
-    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None) if has_aggr else P()
     in_specs = (
         aggr_spec,
         aggr_prod_spec,
@@ -718,11 +723,11 @@ def reduce_half_sweep_chunked(
         aggr_on = jnp.asarray(it >= burnin, dtype)
         if aggr_mu_l is not None:
             aggr_mu_l = aggr_mu_l + uv * aggr_on
-            aggr_prod_l = aggr_prod_l + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+            aggr_prod_l = aggr_prod_l + aggr_prod_update(uv * aggr_on, u)
         return u, aggr_mu_l, aggr_prod_l, s, prod, norm
 
     aggr_spec = P(AXIS, None) if has_aggr else P()
-    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None) if has_aggr else P()
     prop_mu_spec = P(AXIS, None) if has_prop else P()
     prop_lam_spec = P(AXIS, None, None) if has_prop else P()
     bspecs = _bucket_specs()
@@ -867,7 +872,7 @@ def dense8_half_sweep(
     aggr_mu, aggr_prod = state.aggr_mu, state.aggr_prod
     if aggr_mu is not None:
         aggr_mu = aggr_mu + uv * aggr_on
-        aggr_prod = aggr_prod + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+        aggr_prod = aggr_prod + aggr_prod_update(uv * aggr_on, u)
 
     n_f = jnp.asarray(num, dtype)
     cov = (prod - jnp.outer(s, s) / n_f) / (n_f - 1.0)
@@ -966,8 +971,8 @@ def dense8_half_sweep_sharded(
         aggr_on = jnp.asarray(it >= burnin, dtype)
         if aggr_mu_l is not None:
             aggr_mu_l = aggr_mu_l + uv * aggr_on
-            aggr_prod_l = aggr_prod_l + jnp.einsum(
-                "sk,sl->skl", uv * aggr_on, u
+            aggr_prod_l = aggr_prod_l + aggr_prod_update(
+                uv * aggr_on, u
             )
         return u, aggr_mu_l, aggr_prod_l, s, prod, norm
 
@@ -1004,7 +1009,7 @@ def dense8_half_sweep_sharded(
                         aggr_mu_l, aggr_prod_l, prior_tri_l, prior_rhs_l)
 
     aggr_spec = P(AXIS, None) if has_aggr else P()
-    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None) if has_aggr else P()
     in_specs = (
         aggr_spec,
         aggr_prod_spec,
@@ -1125,11 +1130,11 @@ def reduce_half_sweep(
         aggr_on = jnp.asarray(it >= burnin, dtype)
         if aggr_mu_l is not None:
             aggr_mu_l = aggr_mu_l + uv * aggr_on
-            aggr_prod_l = aggr_prod_l + jnp.einsum("sk,sl->skl", uv * aggr_on, u)
+            aggr_prod_l = aggr_prod_l + aggr_prod_update(uv * aggr_on, u)
         return u, aggr_mu_l, aggr_prod_l, s, prod, norm
 
     aggr_spec = P(AXIS, None) if has_aggr else P()
-    aggr_prod_spec = P(AXIS, None, None) if has_aggr else P()
+    aggr_prod_spec = P(AXIS, None) if has_aggr else P()
     prop_mu_spec = P(AXIS, None) if has_prop else P()
     prop_lam_spec = P(AXIS, None, None) if has_prop else P()
     bspecs = _bucket_specs()

@@ -625,7 +625,8 @@ class BPMF:
                 norm=jnp.zeros((), dtype),
                 aggr_mu=shard(jnp.zeros((pn, k), dtype), 0) if aggregate else None,
                 aggr_prod=(
-                    shard(jnp.zeros((pn, k, k), dtype), 0) if aggregate else None
+                    shard(jnp.zeros((pn, k * (k + 1) // 2), dtype), 0)
+                    if aggregate else None
                 ),
             )
 
@@ -1338,9 +1339,13 @@ class BPMF:
         cfg = self.cfg
         nsamples = cfg.nsims - cfg.burnin
         idx = side.maps.orig_to_padded
+        from bpmf_tpu.models.bpmf import aggr_prod_full
+
         aggr_mu = to_host(state.aggr_mu, np.float64)[idx]        # [num, K]
-        aggr_prod = to_host(state.aggr_prod, np.float64)[idx]
         k = aggr_mu.shape[1]
+        aggr_prod = aggr_prod_full(
+            to_host(state.aggr_prod, np.float64)[idx], k
+        )
         outer = np.einsum("nk,nl->nkl", aggr_mu, aggr_mu) / nsamples
         cov = (aggr_prod - outer) / (nsamples - 1)
         prec = np.linalg.inv(cov)                                 # [num, K, K]
