@@ -102,6 +102,17 @@ class Config:
                                   # (scripts/defer_ab.py; sampler._chunk_fn
                                   # has the numbers).  'on' forces it
                                   # (single-device programs only)
+    fused_eval_gather: str = "auto"
+                                  # predict's two [nnz_t, K] row gathers as
+                                  # ONE gather over the stacked user+movie
+                                  # table (models/bpmf.predict): the XLA row
+                                  # gather is per-op-latency-bound at these
+                                  # row counts (scripts/eval_gather_probe.py)
+                                  # so one op beats two.  Bit-identical
+                                  # predictions.  'auto' = on (measured
+                                  # faster on v5e in-context; see
+                                  # docs/PERF.md §predict); 'off' restores
+                                  # the split gathers
     defer_predict_limit_bytes: int = 512 << 20
                                   # deferral footprint cap for 'auto':
                                   # ~2 n nnz_t K 4B of gather output +
@@ -126,6 +137,9 @@ class Config:
             raise ValueError(f"bad matmul_dtype {self.matmul_dtype!r}")
         if self.defer_predict not in ("auto", "on", "off"):
             raise ValueError(f"bad defer_predict {self.defer_predict!r}")
+        if self.fused_eval_gather not in ("auto", "on", "off"):
+            raise ValueError(
+                f"bad fused_eval_gather {self.fused_eval_gather!r}")
         allowed = {"nogather", "nogram", "nomatmul", "nosolve", "nopredict",
                    "nohyper", "nonoise"}
         if self.ablate and not set(self.ablate.split(",")) <= allowed:

@@ -1191,6 +1191,7 @@ def predict_sharded(
     burnin: int,
     gather_dtype=None,
     nnz_true: int | None = None,
+    fused_gather: bool = False,
 ):
     """Entry-sharded test evaluation (Sys::predict, c++/sample.cpp:48-96,
     whose reference analog restricts each rank to its local item range,
@@ -1222,6 +1223,7 @@ def predict_sharded(
             gather_dtype=gather_dtype,
             axis_name=AXIS,
             nnz_true=nnz_true,
+            fused_gather=fused_gather,
         )
         return est2.pavg, est2.pm2, rmse, rmse_avg
 

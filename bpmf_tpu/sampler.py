@@ -748,6 +748,8 @@ class BPMF:
                 **common,
             )
 
+        fused_eval = cfg.fused_eval_gather != "off"
+
         def run_predict(ev, est, u_items, m_items, it, gather_dtype=None):
             # multi-device: entry-sharded eval (the per-entry row gather is
             # the replicated cost that bounds strong scaling, docs/PERF.md)
@@ -758,11 +760,12 @@ class BPMF:
                     mesh, ev, est, u_items, m_items, it,
                     mean_rating=mean_rating, burnin=cfg.burnin,
                     gather_dtype=gather_dtype, nnz_true=len(self.t_val),
+                    fused_gather=fused_eval,
                 )
             return predict(
                 ev, est, u_items, m_items, it,
                 mean_rating=mean_rating, burnin=cfg.burnin,
-                gather_dtype=gather_dtype,
+                gather_dtype=gather_dtype, fused_gather=fused_eval,
             )
 
         self._predict = run_predict
