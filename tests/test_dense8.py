@@ -259,3 +259,26 @@ def test_fold_and_grouped_flags_trajectory_equality(monkeypatch):
     for combo, got in results.items():
         assert got[0] == pytest.approx(base[0], abs=1e-5), combo
         assert got[1] == pytest.approx(base[1], abs=1e-5), combo
+
+
+def test_tri_aligned_mm_flag_trajectory_equality(monkeypatch):
+    """Explicit 0/1 A/B of BPMF_TRI_ALIGNED_MM on the SAME data (the
+    round-4 aligned-Gram knob, parallel/spmd.dense_half_sweep_fused): the
+    aligned layout emits the padded [T, I] triangle straight from the
+    matmul, the tight layout emits [T_tight, I] and row-expands — same
+    entries either way, so the sampled trajectory must agree to float
+    tolerance across both settings and the auto default."""
+    train, test = synth_movielens(
+        n_users=120, n_movies=80, n_ratings=1200, seed=3
+    )
+    results = {}
+    for amm in ("0", "1", "auto"):
+        monkeypatch.setenv("BPMF_TRI_ALIGNED_MM", amm)
+        s, r = _run(train, test, "dense", nsims=4,
+                    fuse_dense="on", solver="pallas")
+        assert s._aux["users"]["fused"] and s._aux["movs"]["fused"]
+        results[amm] = (r, s.rmse)
+    base = results["auto"]
+    for amm, got in results.items():
+        assert got[0] == pytest.approx(base[0], abs=1e-5), amm
+        assert got[1] == pytest.approx(base[1], abs=1e-5), amm

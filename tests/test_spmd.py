@@ -306,6 +306,34 @@ def test_predict_sharded_matches_single_device():
         )
 
 
+def test_fused_eval_matches_split(data):
+    """The one-gather stacked-table eval (fused_eval_gather, default on via
+    'auto') fetches the same rows and forms the same products as the
+    two-gather split form — models/bpmf.predict claims bit-identical
+    values; this asserts it end-to-end: per-run RMSE scalars and the final
+    Pavg/Pm2 Welford state must be EXACTLY equal, on both the single-device
+    predict and the 8-device entry-sharded predict_sharded paths
+    (c++/sample.cpp:48-96)."""
+    train, test = data
+    for n_dev in (1, 8):
+        runs = {}
+        for fused in ("off", "on"):
+            cfg = Config(num_latent=6, burnin=3, nsims=8, n_devices=n_dev,
+                         fused_eval_gather=fused)
+            s = BPMF(cfg, train=train, test=test, out=open(os.devnull, "w"))
+            r = s.run()
+            nnz_t = len(s.t_val)
+            runs[fused] = (
+                r, s.rmse,
+                np.asarray(jax.device_get(s.est.pavg))[:nnz_t],
+                np.asarray(jax.device_get(s.est.pm2))[:nnz_t],
+            )
+        assert runs["on"][0] == runs["off"][0], n_dev      # rmse_avg
+        assert runs["on"][1] == runs["off"][1], n_dev      # rmse
+        np.testing.assert_array_equal(runs["on"][2], runs["off"][2])
+        np.testing.assert_array_equal(runs["on"][3], runs["off"][3])
+
+
 def test_halo_gather_matches_all_gather():
     """halo_gather (connectivity-aware value exchange, opt_conn analog)
     must reproduce the all_gather buffer on every referenced row."""
