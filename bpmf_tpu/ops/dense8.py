@@ -62,6 +62,8 @@ __all__ = [
     "packed_tri_t",
     "dense8_gram_rhs_rows",
     "dense8_gram_rhs_cols",
+    "dense8_sweep_solve",
+    "solve_fused_enabled",
 ]
 
 BLOCK_MULTIPLE = 512  # both sides' padded_num must be a multiple of this
@@ -265,6 +267,196 @@ def _call(codes, p_t, v_t, cs, cb, *, contract_dim, interpret):
         # rhs = (cs*v)@code + (cb*v)@ind; the cb-term is the last K Gram rows
         return gram_t[:-k], rhs_t + gram_t[-k:]
     return gram_t, rhs_t
+
+
+def solve_fused_enabled() -> bool:
+    """BPMF_D8_SOLVE in {split (default), fused}: route the single-chip
+    dense8 half-sweep through :func:`dense8_sweep_solve` (Gram + rhs +
+    prior combine + Cholesky-solve-sample in ONE kernel) or through the
+    split gram kernel -> HBM -> tri_combine_solve_sample pipeline.  Read
+    at trace time (same knob pattern as BPMF_D8_FOLD).
+
+    Default SPLIT for now: the megakernel is faster per iteration on
+    hardware (chembl 9.57 vs 13.21 ms/iter, ml-1m ~1.13-1.20 vs 1.18 —
+    docs/measurements/r5_*_megakernel.log) but costs 200-430 s of XLA/
+    Mosaic compile vs ~15 s for the split pipeline; it stays opt-in until
+    that is fixed."""
+    import os
+
+    return os.environ.get("BPMF_D8_SOLVE", "split") == "fused"
+
+
+def solve_fused_supported(k: int) -> bool:
+    """VMEM budget of :func:`dense8_sweep_solve` at item block 512: the
+    gram/rhs scratch, the solve's live column lists (~2 [K, K, 512] f32
+    slab sets), and the double-buffered operand tiles must coexist.
+    K=32 needs ~9 MB; K=64 exceeds the core's ~16 MB and keeps the split
+    pipeline (whose solver drops to lane block 128 instead)."""
+    toff = _tight_offsets(k)
+    t_tight = toff[-1] + 1  # == k(k+1)/2
+    t_in = t_tight + k      # + fold rows
+    ob, nb = 512, 1024
+    scratch = (t_in + k) * ob * 4
+    solve_live = 2 * k * k * ob * 4
+    operands = 2 * (t_in * nb * 2 + ob * nb)
+    return scratch + solve_live + operands <= 13 * 1024 * 1024
+
+
+def _tight_offsets(k: int) -> list[int]:
+    """Row offset of column j's segment in the TIGHT packed triangle:
+    toff[j] = j*k - j(j-1)/2 (segments are back to back, no alignment
+    padding — tri_tight_pairs layout)."""
+    toff, t = [], 0
+    for j in range(k):
+        toff.append(t)
+        t += k - j
+    return toff
+
+
+def _kernel_fused_solve(codes_ref, p_t_ref, v_t_ref, lam_ref, prior_ref,
+                        noise_ref, out_ref, gram_acc, rhs_acc,
+                        *, k: int, alpha: float, cs: float, cb: float,
+                        contract_dim: int, fold: bool, n_inner: int):
+    """dense8 Gram/rhs accumulation fused with the per-item conditional
+    tail (prior combine + Cholesky + substitutions + MVN draw,
+    c++/sample.cpp:248-324) for one item block.
+
+    Inner grid steps accumulate gram/rhs into VMEM scratch exactly like
+    :func:`_kernel`; at the LAST inner step the solve runs on the
+    VMEM-resident tight triangle directly — the [T, items] f32 Gram never
+    round-trips HBM and the tight->aligned row expansion
+    (ops/pallas_solve.tri_expand_rows) disappears entirely (it existed
+    only to give the standalone solver kernel 8-aligned static slices;
+    here the column segments are sliced at their tight offsets).  Values
+    are bit-identical to the split pipeline: same contractions, same f32
+    accumulation, same combine/solve arithmetic on the same numbers."""
+    from bpmf_tpu.ops.pallas_solve import _chol_solve_tail
+
+    inner = pl.program_id(1)
+
+    @pl.when(inner == 0)
+    def _():
+        gram_acc[:] = jnp.zeros_like(gram_acc)
+        rhs_acc[:] = jnp.zeros_like(rhs_acc)
+
+    md = p_t_ref.dtype
+    codes = codes_ref[:]
+    ind = (codes != 0).astype(md)
+    if fold:
+        cv = codes.astype(md)
+    else:
+        cv = codes.astype(md) * md.type(cs) + ind * md.type(cb)
+    dn = (((1,), (contract_dim,)), ((), ()))
+    gram_acc[:] += jax.lax.dot_general(
+        p_t_ref[:], ind, dn, preferred_element_type=jnp.float32
+    )
+    rhs_acc[:] += jax.lax.dot_general(
+        v_t_ref[:], cv, dn, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(inner == n_inner - 1)
+    def _():
+        g = gram_acc[:]
+        rhs = rhs_acc[:]
+        if fold:
+            # rhs = (cs*v)@code + (cb*v)@ind; cb-term = last K Gram rows
+            rhs = rhs + g[-k:]
+        # prior rhs: shared Lambda @ mu, pre-broadcast to the block width
+        y = rhs + prior_ref[:]
+
+        lam = lam_ref[:].astype(jnp.float32)
+        noise = noise_ref[:].astype(jnp.float32)
+        b = y.shape[1]
+        toff = _tight_offsets(k)
+        acols = []
+        for j in range(k):
+            seg = g[toff[j] : toff[j] + (k - j)]             # [k-j, B]
+            if j:
+                seg = jnp.concatenate(
+                    [jnp.zeros((j, b), jnp.float32), seg], axis=0
+                )
+            acols.append(lam[:, j : j + 1] + alpha * seg)    # [K, B]
+        out_ref[:] = _chol_solve_tail(acols, y, noise, k).astype(
+            out_ref.dtype
+        )
+
+
+def dense8_sweep_solve(
+    codes: jax.Array,    # [R, C] int8 rating codes
+    p_t: jax.Array,      # [T_tight, N] packed-tri of the frozen side
+    v_t: jax.Array,      # [K, N] frozen items, transposed, matmul dtype
+    lam: jax.Array,      # [K, K] shared prior precision (f32)
+    prior_rhs: jax.Array,  # [K, 1] shared prior rhs (Lambda @ mu)
+    noise_t: jax.Array,  # [K, items] N(0, I) draws, batch-last
+    cs: float,
+    cb: float,
+    alpha: float,
+    orientation: str,    # 'rows' | 'cols'
+    interpret: bool = False,
+) -> jax.Array:
+    """u_t [K, items]: the whole dense8 half-sweep compute (one int8 pass
+    Gram/rhs + fused conditional solve) in a single kernel.  Single-chip,
+    shared-prior path only (the per-item propagated prior keeps the split
+    pipeline).  See :func:`_kernel_fused_solve`."""
+    fold = _fold_enabled()
+    if fold:
+        p_t = jnp.concatenate([p_t, v_t * v_t.dtype.type(cb)], axis=0)
+        v_t = v_t * v_t.dtype.type(cs)
+    r, c = codes.shape
+    t_in, n = p_t.shape
+    k = v_t.shape[0]
+    if orientation == "rows":
+        assert n == c, (n, c)
+        # item block 512 (not 1024): the solve working set (~3 live
+        # [K, K, B]-class slabs) must fit VMEM next to the gram scratch
+        ob, nb = _blocks(r, c, (512,), (1024, 512))
+        grid = (r // ob, c // nb)
+        codes_spec = pl.BlockSpec((ob, nb), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM)
+        contract_dim = 1
+        items = r
+    else:
+        assert n == r, (n, r)
+        ob, nb = _blocks(c, r, (512,), (1024, 512))
+        grid = (c // ob, r // nb)
+        codes_spec = pl.BlockSpec((nb, ob), lambda i, j: (j, i),
+                                  memory_space=pltpu.VMEM)
+        contract_dim = 0
+        items = c
+
+    prior_tile = jnp.broadcast_to(prior_rhs.astype(jnp.float32), (k, ob))
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_fused_solve, k=k, alpha=alpha, cs=cs, cb=cb,
+            contract_dim=contract_dim, fold=fold, n_inner=grid[1],
+        ),
+        grid=grid,
+        in_specs=[
+            codes_spec,
+            pl.BlockSpec((t_in, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ob), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ob), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, ob), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, items), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t_in, ob), jnp.float32),
+            pltpu.VMEM((k, ob), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(codes, p_t, v_t, lam.astype(jnp.float32), prior_tile, noise_t)
+    return out
 
 
 def dense8_gram_rhs_rows(

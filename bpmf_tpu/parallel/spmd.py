@@ -815,7 +815,9 @@ def dense8_half_sweep(
     from bpmf_tpu.ops.dense8 import (
         dense8_gram_rhs_cols,
         dense8_gram_rhs_rows,
+        dense8_sweep_solve,
         packed_tri_t,
+        solve_fused_enabled,
     )
     from bpmf_tpu.ops.pallas_solve import tri_combine_solve_sample
 
@@ -830,38 +832,64 @@ def dense8_half_sweep(
     # frozen side, transposed + its packed-triangle operand (built ONCE per
     # half-sweep; the kernels stream tiles of both)
     v_t = other_items.T.astype(matmul_dtype)
-    if "nomatmul" in ablate.split(","):                          # perf-debug
-        from bpmf_tpu.ops.pallas_solve import tri_offsets
-
-        _, t_tot = tri_offsets(k)
-        n_items = codes.shape[0] if orientation == "rows" else codes.shape[1]
-        gram_t = jnp.zeros((t_tot, n_items), dtype) + v_t[:1, :1].astype(dtype) * 1e-12
-        rhs_t = jnp.zeros((k, n_items), dtype)
-    else:
-        p_t = packed_tri_t(v_t.astype(dtype)).astype(matmul_dtype)
-        kernel = (dense8_gram_rhs_rows if orientation == "rows"
-                  else dense8_gram_rhs_cols)
-        gram_t, rhs_t = kernel(codes, p_t, v_t, cs, cb, interpret=interpret)
-        # tight [T_tight, I] -> solver-aligned [T, I] (static slices;
-        # computing the Gram tight saves the aligned layout's 17.5% pad
-        # flops on the MXU — tri_tight_pairs)
-        from bpmf_tpu.ops.pallas_solve import tri_expand_rows
-
-        gram_t = tri_expand_rows(gram_t, k)
-    gram_t = gram_t.astype(dtype)
-    rhs_full_t = _combine_prior_rhs(                             # [K, I]
-        rhs_t, hp, prior_tri_t, prior_rhs_t, dtype,
-    )
     noise = _noise(side_key, lo, k, dtype, num, ablate)
     if noise_scale != 1.0:
         noise = noise * noise_scale
-    if "nosolve" in ablate.split(","):                           # perf-debug
-        u_t = rhs_full_t + noise.T + gram_t[:k, :]
-    else:
-        u_t = tri_combine_solve_sample(
-            gram_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
-            interpret=interpret, lam_tri_t=prior_tri_t,
+    ablates = ablate.split(",")
+    # megakernel: Gram/rhs + prior combine + Cholesky-solve-sample in ONE
+    # pallas_call — the [T, I] f32 Gram never round-trips HBM and the
+    # tight->aligned expansion pass disappears (ops/dense8._kernel_fused_solve).
+    # Shared-prior path only; the matmul/solve ablations and the per-item
+    # propagated prior keep the split pipeline.
+    from bpmf_tpu.ops.dense8 import solve_fused_supported
+
+    fused_solve = (
+        solve_fused_enabled()
+        and solve_fused_supported(k)
+        and prior_tri_t is None
+        and "nomatmul" not in ablates
+        and "nosolve" not in ablates
+    )
+    if fused_solve:
+        p_t = packed_tri_t(v_t.astype(dtype)).astype(matmul_dtype)
+        prior_rhs = (hp.lambda_f @ hp.mu)[:, None]               # [K, 1]
+        u_t = dense8_sweep_solve(
+            codes, p_t, v_t, hp.lambda_f, prior_rhs, noise.T,
+            cs, cb, alpha, orientation, interpret=interpret,
         )                                                    # [K, I]
+    else:
+        if "nomatmul" in ablates:                            # perf-debug
+            from bpmf_tpu.ops.pallas_solve import tri_offsets
+
+            _, t_tot = tri_offsets(k)
+            n_items = (codes.shape[0] if orientation == "rows"
+                       else codes.shape[1])
+            gram_t = (jnp.zeros((t_tot, n_items), dtype)
+                      + v_t[:1, :1].astype(dtype) * 1e-12)
+            rhs_t = jnp.zeros((k, n_items), dtype)
+        else:
+            p_t = packed_tri_t(v_t.astype(dtype)).astype(matmul_dtype)
+            kernel = (dense8_gram_rhs_rows if orientation == "rows"
+                      else dense8_gram_rhs_cols)
+            gram_t, rhs_t = kernel(codes, p_t, v_t, cs, cb,
+                                   interpret=interpret)
+            # tight [T_tight, I] -> solver-aligned [T, I] (static slices;
+            # computing the Gram tight saves the aligned layout's 17.5% pad
+            # flops on the MXU — tri_tight_pairs)
+            from bpmf_tpu.ops.pallas_solve import tri_expand_rows
+
+            gram_t = tri_expand_rows(gram_t, k)
+        gram_t = gram_t.astype(dtype)
+        rhs_full_t = _combine_prior_rhs(                         # [K, I]
+            rhs_t, hp, prior_tri_t, prior_rhs_t, dtype,
+        )
+        if "nosolve" in ablates:                             # perf-debug
+            u_t = rhs_full_t + noise.T + gram_t[:k, :]
+        else:
+            u_t = tri_combine_solve_sample(
+                gram_t, hp.lambda_f, rhs_full_t, noise.T, alpha,
+                interpret=interpret, lam_tri_t=prior_tri_t,
+            )                                                # [K, I]
     u = u_t.T
 
     uv = u * lv[:, None]

@@ -326,21 +326,20 @@ class BPMF:
             # (c++/mpi_reduce.h:29-45) without falling back to the slow
             # bucketed program (a banner line records the routing).
             # Engage only under the default solver family — a user-forced
-            # exact solver keeps the path that honors it — and only BEYOND
-            # the bf16 dense budget: below it the fused dense sweep with
-            # its precomputed operands wins (measured ml-1m synth: 7.8M
-            # items/s fused vs 6.9M dense8; the in-kernel indicator /
-            # centered-value derivation is dense8's price for 4x less HBM)
-            a_bytes = (
-                side.maps.padded_num
-                * (self.users if side is self.movies else self.movies
-                   ).maps.padded_num * 4
-            )
+            # exact solver keeps the path that honors it.  dense8 is
+            # preferred at EVERY eligible scale since round 5: the round-2
+            # "fused dense wins below the budget" note (7.8M vs 6.9M
+            # items/s) predates the fold/aligned dense8 kernels, and the
+            # round-5 in-context A/B measured dense8 faster at ml-100k
+            # (0.98x), ml-1m/4 (0.86x) and ml-1m (0.94x) scale — one int8
+            # pass over the ratings beats two bf16 block reads — and its
+            # program compiles ~10x faster than the fused dense sweep
+            # (12.6 vs 119.7 s at ml-1m; docs/measurements/
+            # r5_ml1m_impl_ab.log, r5_ml100k_impl_ab.log)
             return (
                 jax.default_backend() == "tpu"
                 and self.mode in ("gather", "reduce")
                 and cfg.resolve_solver("tpu") in ("smart", "pallas")
-                and a_bytes > cfg.dense_limit_bytes
             )
 
         # per-side Gram implementation: int8 dense-stream where eligible;

@@ -261,6 +261,31 @@ def test_fold_and_grouped_flags_trajectory_equality(monkeypatch):
         assert got[1] == pytest.approx(base[1], abs=1e-5), combo
 
 
+def test_fused_solve_matches_split(monkeypatch):
+    """The dense8 megakernel (ops/dense8.dense8_sweep_solve: Gram + rhs +
+    prior combine + Cholesky-solve-sample in ONE pallas_call, default
+    BPMF_D8_SOLVE=fused) must reproduce the split pipeline (gram kernel ->
+    HBM -> tri_expand_rows -> tri_combine_solve_sample) EXACTLY: same
+    contractions, same f32 combine/solve arithmetic on the same numbers —
+    f32 CPU interpret mode is bit-exact, so rmse values agree to float
+    tolerance across both routes and both fold settings."""
+    train, test = synth_movielens(
+        n_users=300, n_movies=200, n_ratings=5000, seed=3
+    )
+    results = {}
+    for solve in ("split", "fused"):
+        for fold in ("0", "1"):
+            monkeypatch.setenv("BPMF_D8_SOLVE", solve)
+            monkeypatch.setenv("BPMF_D8_FOLD", fold)
+            s, r = _run(train, test, "dense8", nsims=4)
+            assert s.users.impl == "dense8"
+            results[(solve, fold)] = (r, s.rmse)
+    base = results[("split", "1")]
+    for combo, got in results.items():
+        assert got[0] == pytest.approx(base[0], abs=1e-5), combo
+        assert got[1] == pytest.approx(base[1], abs=1e-5), combo
+
+
 def test_tri_aligned_mm_flag_trajectory_equality(monkeypatch):
     """Explicit 0/1 A/B of BPMF_TRI_ALIGNED_MM on the SAME data (the
     round-4 aligned-Gram knob, parallel/spmd.dense_half_sweep_fused): the
