@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--mode", choices=["auto", "gather", "reduce"], default="auto",
                    help="SPMD exchange mode (multi-device)")
-    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--dtype", choices=["auto", "float32", "float64"], default="auto")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--devices", type=int, default=0,
                    help="number of devices (0 = all available)")

@@ -39,7 +39,10 @@ class Config:
 
     # -- TPU-native knobs (no reference analog)
     seed: int = 42                # reference Philox key 42 (c++/mvnormal.cpp:23)
-    dtype: str = "float32"        # compute dtype; float64 for CPU-parity runs
+    dtype: str = "auto"           # compute dtype: 'auto' picks float64 when
+                                  # the problem is too small for f32 (see
+                                  # resolve_dtype), float32 otherwise;
+                                  # explicit values are honored as-is
     comm_mode: str = "auto"       # 'gather' | 'reduce' | 'auto' (SURVEY §2 backends)
     n_devices: int = 0            # 0 = all available
     diagonal_only: bool = False   # BPMF_NO_COVARIANCE (c++/sample.cpp:300-304)
@@ -125,7 +128,7 @@ class Config:
     def __post_init__(self):
         if self.comm_mode not in ("auto", "gather", "reduce"):
             raise ValueError(f"bad comm_mode {self.comm_mode!r}")
-        if self.dtype not in ("float32", "float64"):
+        if self.dtype not in ("auto", "float32", "float64"):
             raise ValueError(f"bad dtype {self.dtype!r}")
         if self.num_latent < 1:
             raise ValueError("num_latent must be >= 1")
@@ -151,12 +154,40 @@ class Config:
         if self.halo not in ("auto", "on", "off"):
             raise ValueError(f"bad halo {self.halo!r}")
 
+    def resolve_dtype(self, min_side: int) -> str:
+        """'auto' -> float64 when the SMALLER side has fewer than 2*K items,
+        float32 otherwise.
+
+        At N << K the Normal-Wishart scale performs a heavy-tailed random
+        walk (df = K + N barely exceeds K) and the per-item precision
+        Lambda* = Lambda_hp + alpha*Gram reaches condition numbers past
+        f32's ~1e7 Cholesky limit within a few iterations — measured on
+        data/tiny (4x2, 6 ratings, K=32): ~50% of seeds go non-finite by
+        iteration 9 in f32 on EVERY backend/solver/impl combination, while
+        f64 never does (docs/measurements/r5_tiny_inpt_debug.log).  The
+        reference is all-double (c++/bpmf.h:56-58) and passes its tiny gate
+        (data/tiny/run_test.sh) unconditionally; matching its numeric
+        headroom exactly where the statistics are weakest costs nothing at
+        production scale (every BASELINE config stays comfortably f32:
+        ml-100k min side 943 >= 2*32)."""
+        if self.dtype != "auto":
+            return self.dtype
+        return "float64" if min_side < 2 * self.num_latent else "float32"
+
     def resolve_solver(self, backend: str) -> str:
         """'smart' picks per batch size (measured on v5e, K=32): pure-XLA
         'vpu' below ~8k items (it fuses into the surrounding sweep; ml-100k
         1.8 vs 5.3 ms/iter), the batch-last Pallas VMEM kernel above
         (chembl-scale [168k]: 17 vs 134 ms/iter).  LAPACK-backed 'xla' wins
-        on CPU."""
+        on CPU.  float64 runs never use the Pallas kernel (Mosaic has no
+        64-bit types) — 'smart' resolves to 'xla' and an explicit 'pallas'
+        is rejected up front instead of failing in lowering."""
+        if self.dtype == "float64":
+            if self.solver == "pallas":
+                raise ValueError("solver='pallas' is float32-only "
+                                 "(Mosaic has no 64-bit types)")
+            if self.solver in ("auto", "smart"):
+                return "xla"
         if self.solver != "auto":
             return self.solver
         return "smart" if backend == "tpu" else "xla"

@@ -841,21 +841,34 @@ def dense8_half_sweep(
     # tight->aligned expansion pass disappears (ops/dense8._kernel_fused_solve).
     # Shared-prior path only; the matmul/solve ablations and the per-item
     # propagated prior keep the split pipeline.
-    from bpmf_tpu.ops.dense8 import solve_fused_supported
+    from bpmf_tpu.ops.dense8 import solve_fused_mode, solve_fused_supported
 
+    fused_layout = solve_fused_mode()
     fused_solve = (
         solve_fused_enabled()
-        and solve_fused_supported(k)
+        and solve_fused_supported(k, fused_layout)
         and prior_tri_t is None
         and "nomatmul" not in ablates
         and "nosolve" not in ablates
     )
     if fused_solve:
-        p_t = packed_tri_t(v_t.astype(dtype)).astype(matmul_dtype)
+        from bpmf_tpu.ops.dense8 import pt_mode
+
+        n_items = (codes.shape[0] if orientation == "rows"
+                   else codes.shape[1])
+        if (fused_layout == "tight"
+                and pt_mode(n_items, v_t.shape[1], k, True,
+                            orientation) == "inkernel"):
+            p_t = None  # selections built in-kernel (tight layout)
+        else:
+            p_t = packed_tri_t(
+                v_t.astype(dtype), aligned=fused_layout == "aligned"
+            ).astype(matmul_dtype)
         prior_rhs = (hp.lambda_f @ hp.mu)[:, None]               # [K, 1]
         u_t = dense8_sweep_solve(
             codes, p_t, v_t, hp.lambda_f, prior_rhs, noise.T,
-            cs, cb, alpha, orientation, interpret=interpret,
+            cs, cb, alpha, orientation, layout=fused_layout,
+            interpret=interpret,
         )                                                    # [K, I]
     else:
         if "nomatmul" in ablates:                            # perf-debug
@@ -868,7 +881,15 @@ def dense8_half_sweep(
                       + v_t[:1, :1].astype(dtype) * 1e-12)
             rhs_t = jnp.zeros((k, n_items), dtype)
         else:
-            p_t = packed_tri_t(v_t.astype(dtype)).astype(matmul_dtype)
+            from bpmf_tpu.ops.dense8 import pt_mode
+
+            n_items = (codes.shape[0] if orientation == "rows"
+                       else codes.shape[1])
+            if pt_mode(n_items, v_t.shape[1], k, False,
+                       orientation) == "inkernel":
+                p_t = None  # built in-kernel from one-hot selections
+            else:
+                p_t = packed_tri_t(v_t.astype(dtype)).astype(matmul_dtype)
             kernel = (dense8_gram_rhs_rows if orientation == "rows"
                       else dense8_gram_rhs_cols)
             gram_t, rhs_t = kernel(codes, p_t, v_t, cs, cb,
@@ -1008,9 +1029,15 @@ def dense8_half_sweep_sharded(
 
         def body(aggr_mu_l, aggr_prod_l, codes_l, other_l, lo_l, lv_l,
                  prior_tri_l, prior_rhs_l):
+            from bpmf_tpu.ops.dense8 import pt_mode
+
             other_full = lax.all_gather(other_l, AXIS, tiled=True)  # [C, K]
             v_t = other_full.T.astype(matmul_dtype)
-            p_t = packed_tri_t(other_full.T).astype(matmul_dtype)
+            if pt_mode(codes_l.shape[0], v_t.shape[1], k, False,
+                       "rows") == "inkernel":
+                p_t = None
+            else:
+                p_t = packed_tri_t(other_full.T).astype(matmul_dtype)
             gram_t, rhs_t = dense8_gram_rhs_rows(
                 codes_l, p_t, v_t, cs, cb, interpret=interpret
             )                                    # [T_tight, R/D], [K, R/D]
@@ -1021,10 +1048,16 @@ def dense8_half_sweep_sharded(
 
         def body(aggr_mu_l, aggr_prod_l, codes_l, other_l, lo_l, lv_l,
                  prior_tri_l, prior_rhs_l):
+            from bpmf_tpu.ops.dense8 import pt_mode
+
             # frozen users rows on this device line up with the code shard
             # rows — no gather at all
             v_t = other_l.T.astype(matmul_dtype)
-            p_t = packed_tri_t(other_l.T).astype(matmul_dtype)
+            if pt_mode(codes_l.shape[1], v_t.shape[1], k, False,
+                       "cols") == "inkernel":
+                p_t = None
+            else:
+                p_t = packed_tri_t(other_l.T).astype(matmul_dtype)
             gram_t, rhs_t = dense8_gram_rhs_cols(
                 codes_l, p_t, v_t, cs, cb, interpret=interpret
             )                                    # PARTIAL [T_tight, C], [K, C]

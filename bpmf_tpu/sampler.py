@@ -242,6 +242,17 @@ class BPMF:
         if self._setup_done:
             return
         cfg = self.cfg
+        # 'auto' dtype: resolve against the data BEFORE anything reads
+        # cfg.dtype (x64 flag, solver/matmul policies, dense8 eligibility)
+        resolved_dtype = cfg.resolve_dtype(min(self.train.shape))
+        if cfg.dtype == "auto" and resolved_dtype == "float64":
+            self._log(
+                f"dtype auto -> float64: min side {min(self.train.shape)} < "
+                f"2*K={2 * cfg.num_latent} (f32's Cholesky headroom is not "
+                "enough when the Normal-Wishart df barely exceeds K; the "
+                "all-double reference never faces this)"
+            )
+        cfg.dtype = resolved_dtype
         # Persistent XLA compilation cache: TPU compiles of the sweep program
         # can take minutes (backend-dependent); cache them across processes.
         cache_dir = os.environ.get(

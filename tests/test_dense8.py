@@ -265,22 +265,27 @@ def test_fused_solve_matches_split(monkeypatch):
     """The dense8 megakernel (ops/dense8.dense8_sweep_solve: Gram + rhs +
     prior combine + Cholesky-solve-sample in ONE pallas_call, default
     BPMF_D8_SOLVE=fused) must reproduce the split pipeline (gram kernel ->
-    HBM -> tri_expand_rows -> tri_combine_solve_sample) EXACTLY: same
-    contractions, same f32 combine/solve arithmetic on the same numbers —
-    f32 CPU interpret mode is bit-exact, so rmse values agree to float
-    tolerance across both routes and both fold settings."""
+    HBM -> tri_expand_rows -> tri_combine_solve_sample) to float
+    tolerance: same contractions and same f32 combine/solve arithmetic
+    (the in-kernel-p_t variants differ only in the exact affine rhs
+    rounding, cs*(v@c)+cb*(v@i) vs the fold form).  Covers all three
+    routes x fold 0/1 x p_t in-kernel/hoisted."""
     train, test = synth_movielens(
         n_users=300, n_movies=200, n_ratings=5000, seed=3
     )
     results = {}
-    for solve in ("split", "fused"):
+    for solve in ("split", "fused", "fused_aligned"):
         for fold in ("0", "1"):
-            monkeypatch.setenv("BPMF_D8_SOLVE", solve)
-            monkeypatch.setenv("BPMF_D8_FOLD", fold)
-            s, r = _run(train, test, "dense8", nsims=4)
-            assert s.users.impl == "dense8"
-            results[(solve, fold)] = (r, s.rmse)
-    base = results[("split", "1")]
+            for pt in ("hoisted", "inkernel"):
+                if pt == "inkernel" and solve == "fused_aligned":
+                    continue  # aligned megakernel is hoisted-only
+                monkeypatch.setenv("BPMF_D8_SOLVE", solve)
+                monkeypatch.setenv("BPMF_D8_FOLD", fold)
+                monkeypatch.setenv("BPMF_D8_PT", pt)
+                s, r = _run(train, test, "dense8", nsims=4)
+                assert s.users.impl == "dense8"
+                results[(solve, fold, pt)] = (r, s.rmse)
+    base = results[("split", "1", "hoisted")]
     for combo, got in results.items():
         assert got[0] == pytest.approx(base[0], abs=1e-5), combo
         assert got[1] == pytest.approx(base[1], abs=1e-5), combo

@@ -104,3 +104,25 @@ def test_tiny_posterior_vs_numpy(tmp_path):
         np.testing.assert_allclose(
             lam_i, np.linalg.inv(cov), rtol=1e-3, atol=1e-4
         )
+
+
+def test_tiny_stays_finite_across_seeds():
+    """The tiny chain must survive 9 iterations for EVERY seed, like the
+    all-double reference (data/tiny/run_test.sh passes unconditionally).
+    In float32 this is a coin flip — seeds 1234 and 7 went non-finite by
+    iteration 9 on both the r4 and r5 programs, on CPU and TPU, with every
+    solver/gram-impl combination (docs/measurements/r5_tiny_inpt_debug.log)
+    — which is why 'auto' dtype resolves to float64 below min_side < 2*K
+    (config.resolve_dtype).  Seeds here include the measured-failing ones."""
+    for seed in (1234, 42, 7):
+        cfg = Config(
+            train_file=f"{REF}/tiny/train.mtx",
+            test_file=f"{REF}/tiny/test.mtx",
+            nsims=9, burnin=0, permute=False, seed=seed,
+        )
+        s = BPMF(cfg, out=open(os.devnull, "w"))
+        s.setup()
+        assert s.cfg.dtype == "float64"  # auto resolved against min side 2
+        rmse_avg = s.run()
+        assert np.isfinite(rmse_avg), seed
+        assert rmse_avg < 4.5, seed

@@ -207,3 +207,31 @@ def test_defer_predict_trajectory_equality():
         np.asarray(s_on.est.pm2), np.asarray(s_off.est.pm2),
         rtol=1e-5, atol=1e-6
     )
+
+
+def test_auto_dtype_resolution():
+    """'auto' dtype picks float64 only when the smaller side has < 2*K
+    items — the regime where the Normal-Wishart df (K + N) barely exceeds
+    K and Lambda*'s condition number outruns f32's Cholesky headroom
+    within a few sweeps (measured on data/tiny: ~half of seeds go
+    non-finite in f32 on every backend/solver/impl, f64 never —
+    docs/measurements/r5_tiny_inpt_debug.log).  The all-double reference
+    (c++/bpmf.h:56-58) never faces the choice; every BASELINE config
+    resolves to float32."""
+    from bpmf_tpu.config import Config
+
+    cfg = Config(num_latent=32)
+    assert cfg.resolve_dtype(2) == "float64"      # data/tiny: min side 2
+    assert cfg.resolve_dtype(63) == "float64"
+    assert cfg.resolve_dtype(64) == "float32"
+    assert cfg.resolve_dtype(943) == "float32"    # ml-100k
+    assert Config(num_latent=32, dtype="float32").resolve_dtype(2) == "float32"
+    assert Config(num_latent=32, dtype="float64").resolve_dtype(10**6) == "float64"
+    # float64 never routes to the f32-only Pallas kernel, and an explicit
+    # pallas+f64 fails loudly at config time instead of in Mosaic lowering
+    assert Config(dtype="float64").resolve_solver("tpu") == "xla"
+    assert Config(dtype="float64", solver="smart").resolve_solver("tpu") == "xla"
+    import pytest
+
+    with pytest.raises(ValueError):
+        Config(dtype="float64", solver="pallas").resolve_solver("tpu")
